@@ -1,0 +1,15 @@
+"""Numeric kernels: pooling, normalization, losses, whitening, top-k search."""
+
+from .normalization import l2n, powerlaw
+from .pooling import gem, mac, rmac, roipool, spoc
+from .losses import contrastive_loss, sos_loss, triplet_loss
+from .whiten import pcawhitenlearn, whitenapply, whitenlearn
+from .topk import exact_ranks, exact_scores, exact_topk
+
+__all__ = [
+    "l2n", "powerlaw",
+    "gem", "mac", "rmac", "roipool", "spoc",
+    "contrastive_loss", "sos_loss", "triplet_loss",
+    "pcawhitenlearn", "whitenapply", "whitenlearn",
+    "exact_ranks", "exact_scores", "exact_topk",
+]
