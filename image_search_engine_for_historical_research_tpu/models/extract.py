@@ -1,0 +1,114 @@
+"""Descriptor extraction: single-scale, multi-scale, batched and sharded.
+
+TPU-native counterpart of the reference extraction drivers
+(``/root/reference/src/networks/imageretrievalnet.py:356-479``). The reference
+runs a DataLoader at batch size 1 and loops scales per image on the GPU; here the
+multi-scale forward is one jitted program per input shape (scales unrolled at
+trace time — static shapes for XLA) and batches of padded images run with a
+validity mask, so the MXU sees large batched convolutions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.normalization import l2n
+
+DEFAULT_SCALES = (1.0, 2 ** 0.5, 0.5 ** 0.5)  # reference ms default, offline.py:86
+
+
+def _resize_images(images: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Bilinear resize by ``scale`` (floor-sized, like F.interpolate)."""
+    B, H, W, C = images.shape
+    nh, nw = int(H * scale), int(W * scale)
+    return jax.image.resize(images, (B, nh, nw, C), method="bilinear")
+
+
+def _resize_mask(mask: jnp.ndarray, scale: float) -> jnp.ndarray:
+    B, H, W = mask.shape
+    nh, nw = int(H * scale), int(W * scale)
+    return (
+        jax.image.resize(mask.astype(jnp.float32), (B, nh, nw), method="nearest")
+        > 0.5
+    )
+
+
+def multiscale_descriptor(
+    module,
+    variables,
+    images: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scales: Sequence[float] = DEFAULT_SCALES,
+    msp: float = 1.0,
+):
+    """Multi-scale descriptor (extract_ms, imageretrievalnet.py:464-479).
+
+    ``v = (mean_s net(resize(x, s))^msp)^(1/msp)``, L2-normalized. With a single
+    scale of 1.0 this reduces to ``extract_ss`` (:461-462). Scales are unrolled at
+    trace time: each scale is a static-shape forward.
+    """
+    acc = None
+    for s in scales:
+        xs = images if s == 1.0 else _resize_images(images, s)
+        ms = None
+        if mask is not None:
+            ms = mask if s == 1.0 else _resize_mask(mask, s)
+        v = module.apply(variables, xs, ms)  # (B, D), already l2n'd
+        v = jnp.power(v, msp) if msp != 1.0 else v
+        acc = v if acc is None else acc + v
+    acc = acc / len(scales)
+    if msp != 1.0:
+        acc = jnp.power(acc, 1.0 / msp)
+    return l2n(acc, eps=0.0)  # reference divides by exact norm (:477)
+
+
+def make_extract_fn(module, scales: Sequence[float] = DEFAULT_SCALES, msp: float = 1.0):
+    """Jitted ``(variables, images, mask) -> (B, D)`` extraction function.
+
+    One compilation per distinct padded input shape; callers bucket images into a
+    small set of canvas shapes (see ``data.images.bucket_batches``).
+    """
+
+    @jax.jit
+    def fn(variables, images, mask=None):
+        return multiscale_descriptor(
+            module, variables, images, mask, scales=tuple(scales), msp=msp
+        )
+
+    return fn
+
+
+def make_sharded_extract_fn(
+    module,
+    mesh,
+    scales: Sequence[float] = DEFAULT_SCALES,
+    msp: float = 1.0,
+    axis: str = "data",
+):
+    """Batch-sharded extraction over a device mesh.
+
+    Replaces the reference's ``nn.DataParallel`` replication
+    (``main_train.py:472``, ``traindataset.py:420``): parameters are replicated,
+    the batch dimension is sharded over ``axis``, and XLA inserts the collectives.
+    Batch size must be divisible by the mesh axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(axis))
+
+    @partial(
+        jax.jit,
+        in_shardings=(replicated, batch_sharded, batch_sharded),
+        out_shardings=batch_sharded,
+    )
+    def fn(variables, images, mask):
+        return multiscale_descriptor(
+            module, variables, images, mask, scales=tuple(scales), msp=msp
+        )
+
+    return fn

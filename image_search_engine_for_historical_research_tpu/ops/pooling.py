@@ -28,25 +28,54 @@ from .normalization import l2n
 EPS = 1e-6
 
 
-def mac(x: jnp.ndarray) -> jnp.ndarray:
-    """Maximum-activation-of-convolutions pooling (functional.py:10-12)."""
-    return jnp.max(x, axis=(1, 2))
+def _expand_mask(mask, x):
+    """(B, H, W) -> (B, H, W, 1) float mask in x.dtype."""
+    return mask.astype(x.dtype)[..., None]
 
 
-def spoc(x: jnp.ndarray) -> jnp.ndarray:
+def mac(x: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """Maximum-activation-of-convolutions pooling (functional.py:10-12).
+
+    ``mask`` (B, H, W) boolean restricts the max to valid (non-padded) positions;
+    the reference has no mask because it extracts one variable-sized image at a
+    time — masked batched pooling is the TPU-native equivalent.
+    """
+    if mask is None:
+        return jnp.max(x, axis=(1, 2))
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    return jnp.max(jnp.where(mask[..., None], x, neg), axis=(1, 2))
+
+
+def spoc(x: jnp.ndarray, mask=None) -> jnp.ndarray:
     """Sum(mean)-pooling of convolutions (functional.py:15-17)."""
-    return jnp.mean(x, axis=(1, 2))
+    if mask is None:
+        return jnp.mean(x, axis=(1, 2))
+    m = _expand_mask(mask, x)
+    return jnp.sum(x * m, axis=(1, 2)) / jnp.clip(
+        jnp.sum(m, axis=(1, 2)), min=1.0
+    )
 
 
-def gem(x: jnp.ndarray, p=3.0, eps: float = EPS) -> jnp.ndarray:
+def gem(x: jnp.ndarray, p=3.0, eps: float = EPS, mask=None) -> jnp.ndarray:
     """Generalized-mean pooling (functional.py:20-22).
 
     ``avg(clip(x, eps)^p)^(1/p)``. ``p`` may be a python/traced scalar (GeM) or a
-    ``(C,)`` array for per-channel multi-p (GeMmp, pooling.py:55-66).
+    ``(C,)`` array for per-channel multi-p (GeMmp, pooling.py:55-66). ``mask``
+    (B, H, W) averages over valid positions only.
     """
     p = jnp.asarray(p, dtype=x.dtype)
     clipped = jnp.clip(x, min=eps)
-    pooled = jnp.mean(jnp.power(clipped, p), axis=(1, 2))
+    powered = jnp.power(clipped, p)
+    if mask is None:
+        pooled = jnp.mean(powered, axis=(1, 2))
+    else:
+        m = _expand_mask(mask, x)
+        pooled = jnp.sum(powered * m, axis=(1, 2)) / jnp.clip(
+            jnp.sum(m, axis=(1, 2)), min=1.0
+        )
+        # fully-masked rows would give 0^(1/p) (NaN grad); floor at the clamp
+        # value eps^p so they match the unmasked all-zero-channel result of eps
+        pooled = jnp.clip(pooled, min=jnp.power(jnp.asarray(eps, x.dtype), p))
     return jnp.power(pooled, 1.0 / p)
 
 
