@@ -1,0 +1,13 @@
+"""Search backends with a uniform build/search/save/load contract."""
+
+from .base import load_index, normalize_rows, save_index
+from .flat import FlatIndex, build_flat
+from .pq import PQIndex, build_pq
+from .ivfpq import IVFPQIndex, build_ivfpq
+
+__all__ = [
+    "load_index", "normalize_rows", "save_index",
+    "FlatIndex", "build_flat",
+    "PQIndex", "build_pq",
+    "IVFPQIndex", "build_ivfpq",
+]

@@ -1,0 +1,78 @@
+"""PQ index: compressed search via asymmetric-distance code scan.
+
+Replaces ``matching_Nano_PQ`` (``/root/reference/src/utils/nnsearch.py:847-901``):
+nanopq k-means training + per-query host ADC loop become one batched TPU k-means
+fit and a streamed LUT gather-accumulate scan. Codes are (N, M) uint8 in HBM
+(16 MB at 1M x 16 books — SURVEY.md section 2.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pq import PQCodebook, pq_encode, pq_search, pq_train
+from .base import normalize_rows, register
+
+
+@register("pq")
+@dataclass
+class PQIndex:
+    codewords: jnp.ndarray   # (M, Ks, ds)
+    codes: jnp.ndarray       # (N, M)
+    normalized: bool = True
+
+    @property
+    def codebook(self) -> PQCodebook:
+        return PQCodebook(codewords=self.codewords)
+
+    @property
+    def n(self) -> int:
+        return self.codes.shape[0]
+
+    def search(self, queries, k: int, chunk: int = 262144) -> Tuple:
+        q = jnp.asarray(queries)
+        if self.normalized:
+            q = normalize_rows(q)
+        return pq_search(self.codebook, self.codes, q, k, chunk=chunk)
+
+    def to_arrays(self):
+        return (
+            {"normalized": self.normalized},
+            {
+                "codewords": np.asarray(self.codewords, np.float32),
+                "codes": np.asarray(self.codes),
+            },
+        )
+
+    @classmethod
+    def from_arrays(cls, meta, arrays):
+        return cls(
+            codewords=jnp.asarray(arrays["codewords"]),
+            codes=jnp.asarray(arrays["codes"]),
+            normalized=bool(meta.get("normalized", True)),
+        )
+
+
+def build_pq(
+    vecs,
+    M: int = 16,
+    Ks: int = 256,
+    iters: int = 20,
+    seed: int = 42,
+    normalize: bool = True,
+) -> PQIndex:
+    """Train codebooks on the database and encode it (nnsearch.py:879-891).
+
+    Reference defaults: M=16 books, Ks=2^n_bits (n_bits=8), 20 k-means iters,
+    seed 42, rows L2-normalized first.
+    """
+    v = jnp.asarray(vecs)
+    if normalize:
+        v = normalize_rows(v)
+    cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed)
+    codes = pq_encode(cb, v)
+    return PQIndex(codewords=cb.codewords, codes=codes, normalized=normalize)

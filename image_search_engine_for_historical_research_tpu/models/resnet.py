@@ -120,7 +120,8 @@ class SOABlock(nn.Module):
             "bnc,bmc->bnm", f_x, g_x, preferred_element_type=jnp.float32
         )
         if mask is not None:
-            key_mask = mask.reshape(B, 1, N)
+            # reshape keeping dim 0 intact (sharding-friendly), then broadcast
+            key_mask = mask.reshape(B, N)[:, None, :]
             logits = jnp.where(key_mask, logits, -1e30)
         attn = nn.softmax(logits, axis=-1)
         z = jnp.einsum(

@@ -1,0 +1,157 @@
+"""Product quantization: codebook training, encoding, asymmetric-distance scan.
+
+TPU-native replacement for the nanopq path of the reference
+(``/root/reference/src/utils/nnsearch.py:828-901``): train M sub-codebooks with
+k-means (20 iters, seeded), encode the database to (N, M) codes, and at query
+time build a (M, Ks) distance LUT per query and accumulate code distances — the
+``pq.dtable(query).adist(codes)`` contract, but batched over queries and streamed
+in chunks with a running top-k instead of a per-query python loop + argsort.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .kmeans import kmeans_fit_batched
+
+
+class PQCodebook(NamedTuple):
+    """Codewords ``(M, Ks, ds)`` for M subspaces of width ds = D // M."""
+
+    codewords: jnp.ndarray
+
+    @property
+    def M(self):
+        return self.codewords.shape[0]
+
+    @property
+    def Ks(self):
+        return self.codewords.shape[1]
+
+    @property
+    def ds(self):
+        return self.codewords.shape[2]
+
+
+def pq_train(
+    vecs: jnp.ndarray, M: int = 16, Ks: int = 256, iters: int = 20, seed: int = 42
+) -> PQCodebook:
+    """Fit all M sub-codebooks at once (nnsearch.py:880-885 semantics)."""
+    N, D = vecs.shape
+    if D % M:
+        raise ValueError(f"dim {D} not divisible by M={M}")
+    sub = vecs.reshape(N, M, D // M).transpose(1, 0, 2)  # (M, N, ds)
+    centers, _ = kmeans_fit_batched(sub, Ks, iters, jax.random.PRNGKey(seed))
+    return PQCodebook(codewords=centers)
+
+
+@jax.jit
+def pq_encode(codebook: PQCodebook, vecs: jnp.ndarray) -> jnp.ndarray:
+    """Encode rows to (N, M) nearest-codeword ids (uint8 when Ks <= 256)."""
+    N, D = vecs.shape
+    M, Ks, ds = codebook.codewords.shape
+    sub = vecs.reshape(N, M, ds).transpose(1, 0, 2)  # (M, N, ds)
+
+    def assign(x, c):
+        dots = jax.lax.dot_general(
+            x, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        c2 = jnp.sum(c.astype(jnp.float32) ** 2, axis=1)
+        return jnp.argmin(c2[None, :] - 2.0 * dots, axis=1)
+
+    codes = jax.vmap(assign)(sub, codebook.codewords)  # (M, N)
+    dtype = jnp.uint8 if Ks <= 256 else jnp.int32
+    return codes.T.astype(dtype)  # (N, M)
+
+
+@jax.jit
+def pq_decode(codebook: PQCodebook, codes: jnp.ndarray) -> jnp.ndarray:
+    """Reconstruct (N, D) vectors from codes (nanopq ``decode``)."""
+    M, Ks, ds = codebook.codewords.shape
+    out = jax.vmap(
+        lambda c, ids: c[ids], in_axes=(0, 1), out_axes=1
+    )(codebook.codewords, codes.astype(jnp.int32))        # (N, M, ds)
+    return out.reshape(codes.shape[0], M * ds)
+
+
+@jax.jit
+def pq_dist_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
+    """Per-query asymmetric LUT: (Q, M, Ks) squared distances to codewords.
+
+    The reference builds this per query on the host (HNSW.construct_dist_table,
+    nnsearch.py:101-111); here the whole batch is three einsums.
+    """
+    Q, D = queries.shape
+    M, Ks, ds = codebook.codewords.shape
+    qs = queries.reshape(Q, M, ds)
+    dots = jnp.einsum(
+        "qmd,mkd->qmk", qs, codebook.codewords, preferred_element_type=jnp.float32
+    )
+    c2 = jnp.sum(codebook.codewords.astype(jnp.float32) ** 2, axis=2)  # (M, Ks)
+    q2 = jnp.sum(qs.astype(jnp.float32) ** 2, axis=2)                  # (Q, M)
+    return q2[:, :, None] - 2.0 * dots + c2[None, :, :]
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def pq_search(
+    codebook: PQCodebook,
+    codes: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    chunk: int = 262144,
+):
+    """ADC top-k: LUT build + streamed gather-accumulate scan (+ running top-k).
+
+    Replaces the reference's per-query ``adist + argsort`` loop
+    (nnsearch.py:893-898). Scores returned are negated squared distances
+    (larger = better), matching the flat-search convention.
+    """
+    N, M = codes.shape
+    Q = queries.shape[0]
+    Ks = codebook.codewords.shape[1]
+    k = min(k, N)
+    dt = pq_dist_table(codebook, queries)  # (Q, M, Ks)
+
+    chunk = max(128, min(chunk, ((N + 127) // 128) * 128))
+    pad = (-N) % chunk
+    codes_p = jnp.concatenate(
+        [codes.astype(jnp.int32), jnp.zeros((pad, M), jnp.int32)], axis=0
+    ) if pad else codes.astype(jnp.int32)
+    nchunks = codes_p.shape[0] // chunk
+    codes_c = codes_p.reshape(nchunks, chunk, M)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def step(carry, inp):
+        best_s, best_i = carry
+        code_tile, cidx = inp  # (chunk, M)
+        # accumulate LUT entries over subspaces: (Q, chunk)
+        def add_m(m, acc):
+            # dt[:, m, :] is (Q, Ks); gather by this tile's codes for subspace m
+            return acc + jnp.take(dt[:, m, :], code_tile[:, m], axis=1)
+
+        d = jax.lax.fori_loop(
+            0, M, add_m, jnp.zeros((Q, chunk), jnp.float32)
+        )
+        s = -d
+        base = cidx * chunk
+        gidx = row_iota + base
+        s = jnp.where(gidx < N, s, -jnp.inf)
+        cand_s = jnp.concatenate([best_s, s], axis=1)
+        cand_i = jnp.concatenate([best_i, jnp.broadcast_to(gidx, (Q, chunk))], axis=1)
+        new_s, sel = jax.lax.top_k(cand_s, k)
+        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    init = (
+        jnp.full((Q, k), -jnp.inf, jnp.float32),
+        jnp.zeros((Q, k), jnp.int32),
+    )
+    (scores, idx), _ = jax.lax.scan(
+        step, init, (codes_c, jnp.arange(nchunks, dtype=jnp.int32))
+    )
+    return scores, idx

@@ -1,18 +1,23 @@
-"""Streaming exact nearest-neighbour search: fused score + running top-k.
+"""Exact nearest-neighbour search: fused score + top-k on the MXU.
 
 TPU-native replacement for the reference's brute-force matcher
 (``matching_L2``, ``/root/reference/src/utils/nnsearch.py:687-706``), which loops
-per query on the host and does a full ``argsort`` per query. Here the database is
-streamed through the MXU in chunks under ``lax.scan`` with a running top-k carry,
-so peak memory is ``O(Q * (k + chunk))`` instead of ``O(Q * N)`` and the score
-matrix is never materialized.
+per query on the host and full-argsorts N scores per query.
 
-Metrics:
-- ``"ip"``: inner product (== cosine when rows are pre-normalized; the reference
-  normalizes then ranks by L2, which is the same ordering).
-- ``"l2"``: ranks by squared L2 distance via ``||x||^2 - 2 q.x`` (the ``||q||^2``
-  constant cannot change per-query ordering). Returned scores are the *negated*
-  squared distances so that "larger is better" holds for every metric.
+Measured design (TPU v5e, 1M x 2048 bf16, Q=70): the plain materialized matmul
+takes ~36 ms, ``jax.lax.top_k`` adds ~20 ms, ``jax.lax.approx_max_k`` fuses into
+the matmul for ~0 added cost, while a scan with a running top-k carry is *slower*
+(~78 ms) because each carry merge re-sorts. So:
+
+- when the (Q, N) f32 score matrix fits in a memory budget: one matmul + one
+  (approx_)top_k;
+- otherwise: ``lax.map`` over database chunks, per-chunk top-k, then one final
+  merge — peak memory O(Q * (chunk + nchunks * k)).
+
+Metrics: ``"ip"`` (== cosine on normalized rows; the reference normalizes then
+ranks by L2 — the same ordering) and ``"l2"`` via ``||x||^2 - 2 q.x`` (the
+``||q||^2`` constant can't change ordering). Scores are "larger = better" in
+every case (negated shifted squared distance for l2).
 """
 
 from __future__ import annotations
@@ -24,6 +29,9 @@ import jax.numpy as jnp
 
 NEG_INF = -jnp.inf
 
+# score-matrix budget for the one-shot path (bytes of f32 scores)
+ONESHOT_SCORE_BYTES = 2 << 30
+
 
 def _pad_rows(x: jnp.ndarray, multiple: int):
     n = x.shape[0]
@@ -33,77 +41,90 @@ def _pad_rows(x: jnp.ndarray, multiple: int):
     return x, n
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "chunk", "matmul_dtype"))
+def _scores(q, x, metric, x2=None):
+    s = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        if x2 is None:
+            x2 = jnp.sum(x.astype(jnp.float32) ** 2, axis=-1)
+        s = 2.0 * s - x2[None, :]
+    elif metric != "ip":
+        raise ValueError(f"unknown metric: {metric}")
+    return s
+
+
+def _top(s, k, approximate, recall_target):
+    if approximate:
+        return jax.lax.approx_max_k(s, k, recall_target=recall_target)
+    return jax.lax.top_k(s, k)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "metric", "chunk", "matmul_dtype", "approximate", "recall_target"),
+)
 def exact_topk(
     queries: jnp.ndarray,
     db: jnp.ndarray,
     k: int,
     *,
     metric: str = "ip",
-    chunk: int = 131072,
+    chunk: int = 262144,
     matmul_dtype=None,
+    approximate: bool = False,
+    recall_target: float = 0.95,
 ):
-    """Top-k search of ``queries (Q, D)`` against ``db (N, D)``.
+    """Top-k of ``queries (Q, D)`` against ``db (N, D)``.
 
-    Returns ``(scores, idx)`` of shape ``(Q, k)``, scores descending. ``chunk``
-    bounds the score-tile width held in memory; ``matmul_dtype`` (e.g.
-    ``jnp.bfloat16``) casts matmul inputs while accumulating in float32 on the MXU.
+    Returns ``(scores, idx)`` of shape ``(Q, k)``, scores descending.
+    ``matmul_dtype=jnp.bfloat16`` halves HBM traffic with f32 accumulation;
+    ``approximate=True`` uses the TPU-fused ``approx_max_k`` (MIPS bucketing) at
+    the given recall target — ~top_k-cost removed from the critical path.
     """
     Q, D = queries.shape
     N = db.shape[0]
     k = min(k, N)
-    # never use a chunk wider than the (lane-aligned) database
-    chunk = max(128, min(chunk, ((N + 127) // 128) * 128))
 
+    q = queries.astype(matmul_dtype) if matmul_dtype is not None else queries
+
+    if Q * N * 4 <= ONESHOT_SCORE_BYTES:
+        x = db.astype(matmul_dtype) if matmul_dtype is not None else db
+        s = _scores(q, x, metric)
+        return _top(s, k, approximate, recall_target)
+
+    # chunked path: per-chunk top-k then merge
+    chunk = max(128, min(chunk, ((N + 127) // 128) * 128))
     db_p, n_real = _pad_rows(db, chunk)
     nchunks = db_p.shape[0] // chunk
     db_c = db_p.reshape(nchunks, chunk, D)
-
-    q = queries
     if matmul_dtype is not None:
-        q = q.astype(matmul_dtype)
         db_c = db_c.astype(matmul_dtype)
-
     if metric == "l2":
-        # per-chunk ||x||^2, computed in f32 for stability
-        xn2 = jnp.sum(db_p.astype(jnp.float32) ** 2, axis=-1).reshape(nchunks, chunk)
-    elif metric == "ip":
-        xn2 = jnp.zeros((nchunks, chunk), jnp.float32)
+        x2_c = jnp.sum(db_p.astype(jnp.float32) ** 2, axis=-1).reshape(nchunks, chunk)
     else:
-        raise ValueError(f"unknown metric: {metric}")
+        x2_c = jnp.zeros((nchunks, chunk), jnp.float32)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    k_local = min(k, chunk)
 
-    def step(carry, inp):
-        best_s, best_i = carry
-        x, x2, cidx = inp
-        s = jax.lax.dot_general(
-            q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Q, chunk)
-        if metric == "l2":
-            s = 2.0 * s - x2[None, :]
-        base = cidx * chunk
-        gidx = row_iota + base  # (1, chunk) broadcasting over Q
-        valid = gidx < n_real
-        s = jnp.where(valid, s, NEG_INF)
-        cand_s = jnp.concatenate([best_s, s], axis=1)
-        cand_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(gidx, (Q, chunk))], axis=1
-        )
-        new_s, sel = jax.lax.top_k(cand_s, k)
-        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
-        return (new_s, new_i), None
+    def one_chunk(inp):
+        xc, x2c, cidx = inp
+        s = _scores(q, xc, metric, x2c)
+        gidx = row_iota + cidx * chunk
+        s = jnp.where(gidx < n_real, s, NEG_INF)
+        top_s, sel = _top(s, k_local, approximate, recall_target)
+        return top_s, sel + cidx * chunk
 
-    init = (
-        jnp.full((Q, k), NEG_INF, jnp.float32),
-        jnp.zeros((Q, k), jnp.int32),
-    )
-    (scores, idx), _ = jax.lax.scan(
-        step,
-        init,
-        (db_c, xn2, jnp.arange(nchunks, dtype=jnp.int32)),
-    )
-    return scores, idx
+    top_s, top_i = jax.lax.map(
+        one_chunk, (db_c, x2_c, jnp.arange(nchunks, dtype=jnp.int32))
+    )  # (nchunks, Q, k_local)
+
+    cand_s = jnp.transpose(top_s, (1, 0, 2)).reshape(Q, nchunks * k_local)
+    cand_i = jnp.transpose(top_i, (1, 0, 2)).reshape(Q, nchunks * k_local)
+    final_s, sel = jax.lax.top_k(cand_s, k)
+    final_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    return final_s, final_i
 
 
 @partial(jax.jit, static_argnames=("metric", "chunk", "matmul_dtype"))
@@ -123,15 +144,7 @@ def exact_scores(
     q, x = queries, db
     if matmul_dtype is not None:
         q, x = q.astype(matmul_dtype), x.astype(matmul_dtype)
-    s = jax.lax.dot_general(
-        q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if metric == "l2":
-        xn2 = jnp.sum(db.astype(jnp.float32) ** 2, axis=-1)
-        s = 2.0 * s - xn2[None, :]
-    elif metric != "ip":
-        raise ValueError(f"unknown metric: {metric}")
-    return s
+    return _scores(q, x, metric)
 
 
 def exact_ranks(queries, db, *, metric="ip", matmul_dtype=None):

@@ -1,0 +1,9 @@
+"""Training: losses over tuples, param-group optimizer, jitted/sharded step."""
+
+from .optim import FROZEN_PREFIXES, make_optimizer, param_labels
+from .step import TrainState, init_train_state, make_loss_fn, make_train_step
+
+__all__ = [
+    "FROZEN_PREFIXES", "make_optimizer", "param_labels",
+    "TrainState", "init_train_state", "make_loss_fn", "make_train_step",
+]

@@ -1,0 +1,163 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from image_search_engine_for_historical_research_tpu.index import (
+    FlatIndex,
+    IVFPQIndex,
+    PQIndex,
+    build_flat,
+    build_ivfpq,
+    build_pq,
+    load_index,
+    save_index,
+)
+from image_search_engine_for_historical_research_tpu.ops.kmeans import kmeans_fit
+from image_search_engine_for_historical_research_tpu.ops import pq as pq_ops
+
+
+def clustered(N=2000, D=32, k=20, seed=0, spread=0.15):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, D)).astype(np.float32)
+    x = centers[rng.integers(0, k, N)] + spread * rng.standard_normal((N, D)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+class TestKMeans:
+    def test_recovers_separated_clusters(self):
+        rng = np.random.default_rng(0)
+        centers = 10 * rng.standard_normal((8, 4)).astype(np.float32)
+        x = centers[rng.integers(0, 8, 1000)] + 0.05 * rng.standard_normal((1000, 4)).astype(np.float32)
+        c, assign = kmeans_fit(jnp.asarray(x), 8, iters=25)
+        # every point within 0.5 of its centroid (clusters are 10 apart)
+        d = np.linalg.norm(x - np.asarray(c)[np.asarray(assign)], axis=1)
+        assert d.max() < 0.5
+
+    def test_objective_decreases(self):
+        x = jnp.asarray(clustered(500, 16, 10))
+        def obj(iters):
+            c, a = kmeans_fit(x, 16, iters=iters)
+            return float(jnp.sum((x - c[a]) ** 2))
+        assert obj(20) <= obj(1) + 1e-5
+
+
+class TestPQ:
+    def test_roundtrip_reconstruction_close(self):
+        x = clustered(1500, 32)
+        cb = pq_ops.pq_train(jnp.asarray(x), M=8, Ks=64)
+        codes = pq_ops.pq_encode(cb, jnp.asarray(x))
+        recon = np.asarray(pq_ops.pq_decode(cb, codes))
+        err = np.linalg.norm(recon - x, axis=1).mean()
+        assert err < 0.35  # clustered data quantizes well
+
+    def test_dist_table_matches_naive(self):
+        x = clustered(300, 16)
+        q = clustered(4, 16, seed=1)
+        cb = pq_ops.pq_train(jnp.asarray(x), M=4, Ks=32)
+        dt = np.asarray(pq_ops.pq_dist_table(cb, jnp.asarray(q)))
+        cw = np.asarray(cb.codewords)  # (4, 32, 4)
+        for qi in range(4):
+            for m in range(4):
+                sub = q[qi].reshape(4, 4)[m]
+                naive = np.sum((cw[m] - sub[None, :]) ** 2, axis=1)
+                np.testing.assert_allclose(dt[qi, m], naive, rtol=1e-3, atol=1e-4)
+
+    def test_pq_search_matches_adc_oracle(self):
+        x = clustered(800, 32)
+        q = clustered(5, 32, seed=2)
+        idxobj = build_pq(x, M=8, Ks=32)
+        scores, idx = idxobj.search(q, k=10, chunk=256)
+        # oracle: full ADC with numpy
+        dt = np.asarray(pq_ops.pq_dist_table(idxobj.codebook, jnp.asarray(q)))
+        codes = np.asarray(idxobj.codes).astype(int)
+        d = np.zeros((5, 800))
+        for m in range(8):
+            d += dt[:, m, codes[:, m]]
+        # duplicate codes create exact ties; compare distances-at-rank and that
+        # each returned index has exactly the distance claimed by its score
+        np.testing.assert_allclose(
+            np.asarray(scores), -np.sort(d, axis=1)[:, :10], rtol=1e-4, atol=1e-4
+        )
+        got_idx = np.asarray(idx)
+        got_d = np.take_along_axis(d, got_idx, axis=1)
+        np.testing.assert_allclose(np.asarray(scores), -got_d, rtol=1e-4, atol=1e-4)
+
+    def test_pq_recall_on_clustered_data(self):
+        x = clustered(2000, 64, k=50)
+        q = x[:20] + 0.01 * np.random.default_rng(3).standard_normal((20, 64)).astype(np.float32)
+        flat = build_flat(x)
+        _, exact = flat.search(q, 10)
+        pqi = build_pq(x, M=8, Ks=128)
+        _, approx = pqi.search(q, 50)
+        exact, approx = np.asarray(exact), np.asarray(approx)
+        # exact top-1 must be inside the ADC top-10 for nearly every query, and
+        # the exact top-10 inside the ADC top-50 shortlist (the re-rank contract)
+        top1_in_10 = np.mean([exact[i, 0] in approx[i, :10] for i in range(20)])
+        top10_in_50 = np.mean([
+            len(set(exact[i]) & set(approx[i])) / 10 for i in range(20)
+        ])
+        assert top1_in_10 >= 0.95, top1_in_10
+        assert top10_in_50 > 0.8, top10_in_50
+
+
+class TestIVFPQ:
+    def test_full_probe_matches_pq_quality(self):
+        x = clustered(1200, 32, k=30)
+        q = x[:10] + 0.01 * np.random.default_rng(4).standard_normal((10, 32)).astype(np.float32)
+        ivf = build_ivfpq(x, nlist=16, M=8, Ks=64, nprobe=16)
+        flat = build_flat(x)
+        _, exact = flat.search(q, 5)
+        _, approx = ivf.search(q, 50)
+        exact, approx = np.asarray(exact), np.asarray(approx)
+        # quantized ranking can reorder near-ties; require the exact top-1 in
+        # the shortlist top-10 and exact top-5 inside the top-50 shortlist
+        top1_in_10 = np.mean([exact[i, 0] in approx[i, :10] for i in range(10)])
+        top5_in_50 = np.mean([
+            len(set(exact[i]) & set(approx[i])) / 5 for i in range(10)
+        ])
+        assert top1_in_10 >= 0.9, top1_in_10
+        assert top5_in_50 > 0.8, top5_in_50
+
+    def test_partial_probe_still_finds_near_neighbors(self):
+        x = clustered(1200, 32, k=30)
+        q = x[:10]
+        ivf = build_ivfpq(x, nlist=16, M=8, Ks=64, nprobe=4)
+        scores, idx = ivf.search(q, 5)
+        # the query point itself lives in the probed (nearest) list
+        assert np.mean(np.asarray(idx)[:, 0] == np.arange(10)) > 0.8
+
+    def test_no_padding_ids_leak(self):
+        x = clustered(333, 16, k=7)
+        ivf = build_ivfpq(x, nlist=8, M=4, Ks=16, nprobe=8)
+        _, idx = ivf.search(x[:5], 20)
+        assert np.asarray(idx).min() >= 0
+        assert np.asarray(idx).max() < 333
+
+
+class TestArtifacts:
+    @pytest.mark.parametrize("builder,kwargs", [
+        (build_flat, {}),
+        (build_pq, {"M": 4, "Ks": 16}),
+        (build_ivfpq, {"nlist": 8, "M": 4, "Ks": 16, "nprobe": 4}),
+    ])
+    def test_save_load_same_results(self, tmp_path, builder, kwargs):
+        x = clustered(400, 16)
+        q = x[:3]
+        idxobj = builder(x, **kwargs)
+        s0, i0 = idxobj.search(q, 5)
+        save_index(idxobj, str(tmp_path / "idx"))
+        loaded = load_index(str(tmp_path / "idx"))
+        s1, i1 = loaded.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
+
+    def test_unknown_kind_rejected(self, tmp_path):
+        import json, os
+        d = tmp_path / "bad"
+        os.makedirs(d)
+        (d / "manifest.json").write_text(json.dumps({"format_version": 1, "kind": "nope", "meta": {}}))
+        np.savez(d / "arrays.npz", x=np.zeros(1))
+        with pytest.raises(ValueError, match="unknown index kind"):
+            load_index(str(d))

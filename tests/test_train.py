@@ -1,0 +1,75 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from image_search_engine_for_historical_research_tpu import models, parallel, train
+
+
+@pytest.fixture(scope="module")
+def setup():
+    net = models.init_network({"architecture": "resnet50"}, rng=jax.random.PRNGKey(0))
+    tx, labels = train.make_optimizer(net.params["params"], lr=1e-3)
+    state = train.init_train_state(net.params, tx)
+    rng = np.random.default_rng(0)
+    S = 4  # q, p, 2 negs
+    B = 2
+    images = jnp.asarray(rng.standard_normal((B * S, 64, 64, 3)), jnp.float32)
+    labels_arr = jnp.asarray(np.tile([-1, 1, 0, 0], B), jnp.int32)
+    return net, tx, state, images, labels_arr, S
+
+
+def test_param_labels_policy(setup):
+    net, *_ = setup
+    labels = train.param_labels(net.params["params"])
+    flat = {jax.tree_util.keystr(p): v for p, v in
+            jax.tree_util.tree_leaves_with_path(labels)}
+    assert flat["['gem_p']"] == "gem_p"
+    assert any(v == "frozen" for k, v in flat.items() if "layer1" in k)
+    assert all(v == "frozen" for k, v in flat.items() if "layer3_block0" in k)
+    assert all(v == "train" for k, v in flat.items() if "layer4" in k)
+    assert all(v == "train" for k, v in flat.items() if "soa" in k)
+    assert flat["['whiten']['kernel']"] == "train"
+
+
+def test_train_step_updates_only_trainable(setup):
+    net, tx, state, images, labels_arr, S = setup
+    step = train.make_train_step(net.module, tx, S=S, lambda_sos=0.1)
+    new_state, loss1 = step(state, images, labels_arr)
+    assert np.isfinite(float(loss1))
+
+    p0, p1 = state.params["params"], new_state.params["params"]
+    # frozen backbone untouched
+    np.testing.assert_array_equal(
+        np.asarray(p0["features"]["conv1"]["kernel"]),
+        np.asarray(p1["features"]["conv1"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p0["features"]["layer3_block0"]["conv1"]["kernel"]),
+        np.asarray(p1["features"]["layer3_block0"]["conv1"]["kernel"]),
+    )
+    # trainable parts move
+    assert not np.array_equal(
+        np.asarray(p0["features"]["layer4_block0"]["conv1"]["kernel"]),
+        np.asarray(p1["features"]["layer4_block0"]["conv1"]["kernel"]),
+    )
+    assert float(p0["gem_p"]) != float(p1["gem_p"])
+
+    # a second step on the same batch should reduce the loss
+    _, loss2 = step(new_state, images, labels_arr)
+    assert float(loss2) < float(loss1)
+
+
+def test_sharded_train_step_matches_unsharded(setup):
+    net, tx, state, images, labels_arr, S = setup
+    mesh = parallel.data_mesh(2)
+    step_m = train.make_train_step(net.module, tx, S=S, mesh=mesh)
+    step_s = train.make_train_step(net.module, tx, S=S)
+    new_m, loss_m = step_m(state, images, labels_arr, jnp.ones(images.shape[:3], bool))
+    new_s, loss_s = step_s(state, images, labels_arr, jnp.ones(images.shape[:3], bool))
+    np.testing.assert_allclose(float(loss_m), float(loss_s), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_m.params["params"]["gem_p"]),
+        np.asarray(new_s.params["params"]["gem_p"]),
+        rtol=1e-4,
+    )
