@@ -1,0 +1,134 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from image_search_engine_for_historical_research_tpu import rerank
+from image_search_engine_for_historical_research_tpu.index import build_flat
+from image_search_engine_for_historical_research_tpu.ops import exact_ranks
+
+
+def retrieval_problem(n_cls=10, per=20, D=32, noise=0.5, seed=0):
+    """Hard-ish clustered retrieval problem where QE should help."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_cls, D)).astype(np.float32)
+    gallery = centers.repeat(per, 0) + noise * rng.standard_normal((n_cls * per, D)).astype(np.float32)
+    queries = centers + noise * rng.standard_normal((n_cls, D)).astype(np.float32)
+    gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    labels = np.arange(n_cls).repeat(per)
+    return queries, gallery, labels
+
+
+def precision_at(ranks, labels, q_labels, k=10):
+    hits = labels[np.asarray(ranks)[:, :k]] == q_labels[:, None]
+    return hits.mean()
+
+
+class TestFeatureEnhancement:
+    def test_improves_precision(self):
+        q, g, labels = retrieval_problem()
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        p0 = precision_at(ranks0, labels, np.arange(10))
+        qe, ranks1 = rerank.feature_enhancement(
+            jnp.asarray(q), jnp.asarray(g), jnp.asarray(ranks0), k=10, iterations=3
+        )
+        p1 = precision_at(np.asarray(ranks1), labels, np.arange(10))
+        assert p1 >= p0
+        assert np.allclose(np.linalg.norm(np.asarray(qe), axis=1), 1.0, atol=1e-4)
+
+    def test_weights_match_reference_formula(self):
+        # k=3, w=4: weights ((3,2,1)/3)^4; verify a hand-computed enhancement
+        q, g, _ = retrieval_problem(n_cls=3, per=4, noise=0.1, seed=1)
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        qe, _ = rerank.feature_enhancement(
+            jnp.asarray(q), jnp.asarray(g), jnp.asarray(ranks0), k=3, w=4.0, iterations=1
+        )
+        w = (np.arange(3, 0, -1) / 3.0) ** 4
+        manual = (g[ranks0[:, :3]] * w[None, :, None]).sum(axis=1)
+        manual /= np.linalg.norm(manual, axis=1, keepdims=True) + 1e-6
+        np.testing.assert_allclose(np.asarray(qe), manual, atol=1e-5)
+
+    def test_qge1_is_single_iteration_k3(self):
+        q, g, _ = retrieval_problem(seed=2)
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        r1 = rerank.qge1(jnp.asarray(ranks0), jnp.asarray(q), jnp.asarray(g))
+        _, r2 = rerank.feature_enhancement(
+            jnp.asarray(q), jnp.asarray(g), jnp.asarray(ranks0), k=3, iterations=1
+        )
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+class TestAQEDBA:
+    def test_aqe_improves_or_holds(self):
+        q, g, labels = retrieval_problem(seed=3)
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        p0 = precision_at(ranks0, labels, np.arange(10))
+        qa, ga = rerank.average_query_expansion(jnp.asarray(q), jnp.asarray(g))
+        ranks1 = np.asarray(exact_ranks(jnp.asarray(qa), jnp.asarray(ga)))
+        p1 = precision_at(ranks1, labels, np.arange(10))
+        assert p1 >= p0 - 0.02
+        assert qa.shape == (10, 64)  # doubled dim
+
+    def test_dba_shapes_and_improvement(self):
+        q, g, labels = retrieval_problem(seed=4)
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        p0 = precision_at(ranks0, labels, np.arange(10))
+        qd, gd = rerank.database_augmentation(jnp.asarray(q), jnp.asarray(g))
+        assert qd.shape == q.shape and gd.shape == g.shape
+        ranks1 = np.asarray(exact_ranks(jnp.asarray(qd), jnp.asarray(gd)))
+        p1 = precision_at(ranks1, labels, np.arange(10))
+        assert p1 >= p0 - 0.02
+
+
+class TestDiffusion:
+    def test_offline_scores_structure(self):
+        q, g, labels = retrieval_problem(n_cls=6, per=15, noise=0.35, seed=5)
+        off = rerank.build_diffusion_offline(jnp.asarray(g), n_trunc=40, kd=10)
+        assert off.trunc_ids.shape == (90, 40)
+        assert off.scores.shape == (90, 40)
+        ids = np.asarray(off.trunc_ids)
+        np.testing.assert_array_equal(ids[:, 0], np.arange(90))  # self first
+        s = np.asarray(off.scores)
+        assert np.all(np.isfinite(s))
+        # diffusion mass concentrates on the seed's class: within each support,
+        # same-class mean score must beat other-class mean score
+        # (argmax need not be the seed itself with alpha=0.99 hubs)
+        same = np.array([
+            s[i][labels[ids[i]] == labels[i]].mean() for i in range(90)
+        ])
+        other = np.array([
+            s[i][labels[ids[i]] != labels[i]].mean()
+            if (labels[ids[i]] != labels[i]).any() else -np.inf
+            for i in range(90)
+        ])
+        assert (same > other).mean() > 0.95
+
+    def test_rerank_beats_or_matches_baseline(self):
+        q, g, labels = retrieval_problem(n_cls=6, per=15, noise=0.45, seed=6)
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        p0 = precision_at(ranks0, labels, np.arange(6), k=10)
+        ranks1, off = rerank.diffusion_rerank(
+            jnp.asarray(g), jnp.asarray(q), n_trunc=40, kd=10
+        )
+        p1 = precision_at(np.asarray(ranks1), labels, np.arange(6), k=10)
+        assert p1 >= p0 - 0.05, (p0, p1)
+
+    def test_offline_save_load(self, tmp_path):
+        _, g, _ = retrieval_problem(n_cls=4, per=10, seed=7)
+        off = rerank.build_diffusion_offline(jnp.asarray(g), n_trunc=20, kd=8)
+        p = str(tmp_path / "off.npz")
+        off.save(p)
+        loaded = rerank.DiffusionOffline.load(p)
+        np.testing.assert_array_equal(np.asarray(off.trunc_ids), np.asarray(loaded.trunc_ids))
+        np.testing.assert_allclose(np.asarray(off.scores), np.asarray(loaded.scores))
+
+
+class TestKR:
+    def test_kr_improves_or_holds(self):
+        q, g, labels = retrieval_problem(n_cls=8, per=12, noise=0.45, seed=8)
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        p0 = precision_at(ranks0, labels, np.arange(8), k=10)
+        ranks1 = np.asarray(rerank.kr_rerank(jnp.asarray(q), jnp.asarray(g)))
+        p1 = precision_at(ranks1, labels, np.arange(8), k=10)
+        assert ranks1.shape == ranks0.shape
+        assert p1 >= p0 - 0.05, (p0, p1)
