@@ -4,10 +4,14 @@ from .base import load_index, normalize_rows, save_index
 from .flat import FlatIndex, build_flat
 from .pq import PQIndex, build_pq
 from .ivfpq import IVFPQIndex, build_ivfpq
+from .hnsw import HNSWIndex, HNSWPQIndex, build_hnsw, build_hnsw_pq
+from .rpforest import RPForestIndex, build_rpforest
 
 __all__ = [
     "load_index", "normalize_rows", "save_index",
     "FlatIndex", "build_flat",
     "PQIndex", "build_pq",
     "IVFPQIndex", "build_ivfpq",
+    "HNSWIndex", "HNSWPQIndex", "build_hnsw", "build_hnsw_pq",
+    "RPForestIndex", "build_rpforest",
 ]

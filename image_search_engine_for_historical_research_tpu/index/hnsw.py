@@ -1,0 +1,243 @@
+"""HNSW index: native C++ build, TPU beam-search traversal.
+
+Replaces the reference's pure-python HNSW (``nnsearch.py:59-538``: build "runs
+for days" at 1M per its README) and the PQ-code variant ``matching_HNSW_NanoPQ``
+(:585-683). Build happens once on the host in C++ (``native/hnsw_build.cpp``);
+search runs entirely on TPU over the padded neighbor tables.
+
+The PQ variant keeps the reference's exact structure: encode the database,
+deduplicate identical code rows (np.unique, :633), build the graph over unique
+codes with code-to-code distances, search with the asymmetric LUT, then expand
+unique-code hits back to image ids via the stored group table (the pickled
+``dict_recover``, :636-646, becomes two flat arrays).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..native import load as load_native
+from ..ops.graph_search import hnsw_search_batch, hnsw_search_batch_pq
+from ..ops.pq import PQCodebook, pq_decode, pq_encode, pq_train
+from .base import normalize_rows, register
+
+MAX_LEVELS = 6
+
+
+def _build_graph(data: np.ndarray, m: int, m0: int, ef: int, seed: int):
+    """Run the native builder; returns (nbr0, nbru, levels, entry, top)."""
+    lib = load_native("hnsw")
+    lib.hnsw_build.restype = ctypes.c_int
+    n, d = data.shape
+    data = np.ascontiguousarray(data, np.float32)
+    nbr0 = np.empty((n, m0), np.int32)
+    nbru = np.empty((MAX_LEVELS - 1, n, m), np.int32)
+    levels = np.empty((n,), np.int32)
+    meta = np.empty((2,), np.int32)
+    rc = lib.hnsw_build(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n), ctypes.c_int64(d),
+        ctypes.c_int(m), ctypes.c_int(m0), ctypes.c_int(ef),
+        ctypes.c_int(MAX_LEVELS), ctypes.c_uint64(seed),
+        nbr0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nbru.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"hnsw_build failed with code {rc}")
+    return nbr0, nbru, levels, int(meta[0]), int(meta[1])
+
+
+@register("hnsw")
+@dataclass
+class HNSWIndex:
+    vectors: jnp.ndarray      # (N, D) normalized
+    nbr0: jnp.ndarray         # (N, m0)
+    nbru: jnp.ndarray         # (MAX_LEVELS-1, N, m)
+    entry: int
+    ef_default: int = 100
+
+    @property
+    def n(self) -> int:
+        return self.vectors.shape[0]
+
+    def search(self, queries, k: int, ef: Optional[int] = None) -> Tuple:
+        q = normalize_rows(jnp.asarray(queries))
+        return hnsw_search_batch(
+            self.vectors, self.nbr0, self.nbru, self.entry, q, k,
+            ef or max(self.ef_default, k),
+        )
+
+    def to_arrays(self):
+        return (
+            {"entry": self.entry, "ef_default": self.ef_default},
+            {
+                "vectors": np.asarray(self.vectors, np.float32),
+                "nbr0": np.asarray(self.nbr0, np.int32),
+                "nbru": np.asarray(self.nbru, np.int32),
+            },
+        )
+
+    @classmethod
+    def from_arrays(cls, meta, arrays):
+        return cls(
+            vectors=jnp.asarray(arrays["vectors"]),
+            nbr0=jnp.asarray(arrays["nbr0"]),
+            nbru=jnp.asarray(arrays["nbru"]),
+            entry=int(meta["entry"]),
+            ef_default=int(meta.get("ef_default", 100)),
+        )
+
+
+def build_hnsw(
+    vecs,
+    m: int = 16,
+    m0: Optional[int] = None,
+    ef_construction: int = 100,
+    seed: int = 42,
+    normalize: bool = True,
+) -> HNSWIndex:
+    """Native-build an HNSW graph (reference params m=16, ef=100 at
+    offline.py:114; m0 = 2m per the paper and nnsearch.py:157)."""
+    v = jnp.asarray(vecs, jnp.float32)
+    if normalize:
+        v = normalize_rows(v)
+    m0 = m0 or 2 * m
+    nbr0, nbru, levels, entry, top = _build_graph(
+        np.asarray(v), m, m0, ef_construction, seed
+    )
+    return HNSWIndex(
+        vectors=v,
+        nbr0=jnp.asarray(nbr0),
+        nbru=jnp.asarray(nbru),
+        entry=entry,
+        ef_default=max(ef_construction, 16),
+    )
+
+
+@register("hnsw_pq")
+@dataclass
+class HNSWPQIndex:
+    codewords: jnp.ndarray     # (M, Ks, ds)
+    unique_codes: jnp.ndarray  # (U, M)
+    nbr0: jnp.ndarray          # (U, m0)
+    nbru: jnp.ndarray
+    entry: int
+    group_offsets: np.ndarray  # (U+1,) member ranges into group_members
+    group_members: np.ndarray  # (N,) image ids grouped by unique code
+    ef_default: int = 100
+
+    @property
+    def n(self) -> int:
+        return int(self.group_members.shape[0])
+
+    def search(self, queries, k: int, ef: Optional[int] = None) -> Tuple:
+        """Returns (scores, idx) over *image ids*, expanding unique-code hits
+        in rank order until k members are collected (nnsearch.py:669-680)."""
+        q = normalize_rows(jnp.asarray(queries))
+        U = self.unique_codes.shape[0]
+        k_unique = min(max(k, 1), U)
+        scores_u, idx_u = hnsw_search_batch_pq(
+            self.unique_codes, self.codewords, self.nbr0, self.nbru, self.entry,
+            q, k_unique, ef or max(self.ef_default, k_unique),
+        )
+        idx_u = np.asarray(idx_u)
+        scores_u = np.asarray(scores_u)
+        Q = idx_u.shape[0]
+        out_idx = np.zeros((Q, k), np.int32)
+        out_scores = np.full((Q, k), -np.inf, np.float32)
+        offs, members = self.group_offsets, self.group_members
+        for qi in range(Q):
+            fill = 0
+            for r in range(k_unique):
+                u = idx_u[qi, r]
+                if u < 0:
+                    continue
+                lo, hi = offs[u], offs[u + 1]
+                take = min(hi - lo, k - fill)
+                out_idx[qi, fill : fill + take] = members[lo : lo + take]
+                out_scores[qi, fill : fill + take] = scores_u[qi, r]
+                fill += take
+                if fill >= k:
+                    break
+            if fill < k:  # backfill like nnsearch.py:676-678
+                missing = np.setdiff1d(
+                    np.arange(self.n), out_idx[qi, :fill], assume_unique=False
+                )[: k - fill]
+                out_idx[qi, fill : fill + len(missing)] = missing
+        return jnp.asarray(out_scores), jnp.asarray(out_idx)
+
+    def to_arrays(self):
+        return (
+            {"entry": self.entry, "ef_default": self.ef_default},
+            {
+                "codewords": np.asarray(self.codewords, np.float32),
+                "unique_codes": np.asarray(self.unique_codes),
+                "nbr0": np.asarray(self.nbr0, np.int32),
+                "nbru": np.asarray(self.nbru, np.int32),
+                "group_offsets": np.asarray(self.group_offsets, np.int64),
+                "group_members": np.asarray(self.group_members, np.int32),
+            },
+        )
+
+    @classmethod
+    def from_arrays(cls, meta, arrays):
+        return cls(
+            codewords=jnp.asarray(arrays["codewords"]),
+            unique_codes=jnp.asarray(arrays["unique_codes"]),
+            nbr0=jnp.asarray(arrays["nbr0"]),
+            nbru=jnp.asarray(arrays["nbru"]),
+            entry=int(meta["entry"]),
+            group_offsets=np.asarray(arrays["group_offsets"]),
+            group_members=np.asarray(arrays["group_members"]),
+            ef_default=int(meta.get("ef_default", 100)),
+        )
+
+
+def build_hnsw_pq(
+    vecs,
+    M: int = 16,
+    Ks: int = 256,
+    m: int = 16,
+    m0: Optional[int] = None,
+    ef_construction: int = 100,
+    iters: int = 20,
+    seed: int = 42,
+    normalize: bool = True,
+) -> HNSWPQIndex:
+    """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683)."""
+    v = jnp.asarray(vecs, jnp.float32)
+    if normalize:
+        v = normalize_rows(v)
+    cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed)
+    codes = np.asarray(pq_encode(cb, v))
+
+    unique, inverse = np.unique(codes, return_inverse=True, axis=0)
+    order = np.argsort(inverse, kind="stable")
+    counts = np.bincount(inverse, minlength=unique.shape[0])
+    offsets = np.zeros(unique.shape[0] + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    members = order.astype(np.int32)
+
+    # graph distances between codes = distances between decoded vectors
+    decoded = np.asarray(pq_decode(cb, jnp.asarray(unique)))
+    m0 = m0 or 2 * m
+    nbr0, nbru, levels, entry, top = _build_graph(
+        decoded, m, m0, ef_construction, seed
+    )
+    return HNSWPQIndex(
+        codewords=cb.codewords,
+        unique_codes=jnp.asarray(unique),
+        nbr0=jnp.asarray(nbr0),
+        nbru=jnp.asarray(nbru),
+        entry=entry,
+        group_offsets=offsets,
+        group_members=members,
+        ef_default=max(ef_construction, 16),
+    )

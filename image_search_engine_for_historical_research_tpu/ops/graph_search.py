@@ -1,0 +1,200 @@
+"""HNSW graph traversal as a jitted, vmapped beam search.
+
+TPU-native counterpart of the reference's per-query python heap traversal
+(``/root/reference/src/utils/nnsearch.py:255-406``): greedy descent over upper
+layers then an ef-bounded best-first search on layer 0. Data-dependent control
+flow becomes fixed-shape array programs:
+
+- the beam is a fixed-size (ef,) sorted buffer (ids, distances, expanded flags);
+- each step expands the best unexpanded candidate, gathers its padded neighbor
+  row, masks visited/invalid entries, and merges by one small sort;
+- the visited set is a per-query (N,) boolean scatter buffer in HBM;
+- queries are vmapped — the while_loop runs lockstep until every query's beam
+  is exhausted (the HNSW termination rule).
+
+Distances are squared L2 (the reference uses np.linalg.norm — same ordering).
+The PQ variant scores nodes through an asymmetric-distance LUT over codes
+(nnsearch.py:96-111) instead of raw vectors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+def _greedy_descent(dist_to, nbrs, point, pd):
+    """Greedy best-neighbor descent on one layer (nnsearch.py:294-319).
+
+    ``dist_to(ids) -> dists`` (masked +inf for id < 0); ``nbrs (N, m)``.
+    """
+
+    def cond(state):
+        _, _, improved = state
+        return improved
+
+    def body(state):
+        point, pd, _ = state
+        cand = nbrs[point]                      # (m,)
+        d = dist_to(cand)
+        best = jnp.argmin(d)
+        bd = d[best]
+        take = bd < pd
+        return (
+            jnp.where(take, cand[best], point),
+            jnp.where(take, bd, pd),
+            take,
+        )
+
+    point, pd, _ = jax.lax.while_loop(cond, body, (point, pd, jnp.bool_(True)))
+    return point, pd
+
+
+def _beam_search_l0(dist_to, nbr0, entry, entry_d, N, ef, max_steps):
+    """ef-bounded best-first search on layer 0 (nnsearch.py:321-350)."""
+    m0 = nbr0.shape[1]
+
+    beam_ids = jnp.full((ef,), -1, jnp.int32).at[0].set(entry)
+    beam_d = jnp.full((ef,), INF, jnp.float32).at[0].set(entry_d)
+    expanded = jnp.zeros((ef,), bool)
+    visited = jnp.zeros((N,), bool).at[entry].set(True)
+
+    def cond(state):
+        beam_ids, beam_d, expanded, visited, steps = state
+        frontier = jnp.logical_and(~expanded, beam_ids >= 0)
+        worst = jnp.max(jnp.where(beam_ids >= 0, beam_d, -INF))
+        has_work = jnp.any(jnp.logical_and(frontier, beam_d <= worst))
+        return jnp.logical_and(steps < max_steps, has_work)
+
+    def body(state):
+        beam_ids, beam_d, expanded, visited, steps = state
+        frontier_d = jnp.where(jnp.logical_and(~expanded, beam_ids >= 0), beam_d, INF)
+        i = jnp.argmin(frontier_d)
+        expanded = expanded.at[i].set(True)
+        node = beam_ids[i]
+
+        cand = nbr0[node]                                   # (m0,)
+        fresh = jnp.logical_and(cand >= 0, ~visited[jnp.clip(cand, 0)])
+        visited = visited.at[jnp.where(fresh, cand, 0)].set(True)
+        # (padding writes hit index 0 harmlessly: it is already visited)
+        d = jnp.where(fresh, dist_to(cand), INF)
+
+        all_ids = jnp.concatenate([beam_ids, cand])
+        all_d = jnp.concatenate([beam_d, d])
+        all_exp = jnp.concatenate([expanded, jnp.zeros((m0,), bool)])
+        order = jnp.argsort(all_d)[:ef]
+        return (
+            all_ids[order],
+            all_d[order],
+            all_exp[order],
+            visited,
+            steps + 1,
+        )
+
+    beam_ids, beam_d, expanded, visited, _ = jax.lax.while_loop(
+        cond, body, (beam_ids, beam_d, expanded, visited, jnp.int32(0))
+    )
+    return beam_ids, beam_d
+
+
+def make_hnsw_search(node_dist_factory: Callable):
+    """Build a vmapped HNSW search given a per-query distance factory.
+
+    ``node_dist_factory(query_context) -> (ids -> dists)``; the context is
+    whatever precomputed per-query object the metric needs (the raw query for
+    L2, the ADC LUT for PQ).
+    """
+
+    def search_one(ctx, nbr0, nbru, entry, k, ef, max_steps, N):
+        dist_to = node_dist_factory(ctx)
+
+        point = entry
+        pd = dist_to(jnp.asarray([entry]))[0]
+        n_upper = nbru.shape[0]
+        for l in range(n_upper - 1, -1, -1):  # static unroll over upper layers
+            point, pd = _greedy_descent(dist_to, nbru[l], point, pd)
+
+        beam_ids, beam_d = _beam_search_l0(dist_to, nbr0, point, pd, N, ef, max_steps)
+        return beam_ids[:k], -beam_d[:k]  # scores: larger is better
+
+    return search_one
+
+
+def hnsw_search_batch(
+    vectors: jnp.ndarray,
+    nbr0: jnp.ndarray,
+    nbru: jnp.ndarray,
+    entry: int,
+    queries: jnp.ndarray,
+    k: int,
+    ef: int,
+    max_steps: int = 0,
+):
+    """Raw-vector (squared-L2) batched HNSW search."""
+    N = vectors.shape[0]
+    ef = max(ef, k)
+    max_steps = max_steps or 4 * ef
+
+    def factory(q):
+        def dist_to(ids):
+            v = vectors[jnp.clip(ids, 0)]
+            d = jnp.sum((v - q[None, :]) ** 2, axis=-1)
+            return jnp.where(ids >= 0, d, INF)
+
+        return dist_to
+
+    search_one = make_hnsw_search(factory)
+
+    @partial(jax.vmap, in_axes=(0,))
+    def run(q):
+        return search_one(q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N)
+
+    ids, scores = jax.jit(run)(queries)
+    return scores, ids
+
+
+def hnsw_search_batch_pq(
+    codes: jnp.ndarray,       # (N, M) int codes
+    codewords: jnp.ndarray,   # (M, Ks, ds)
+    nbr0: jnp.ndarray,
+    nbru: jnp.ndarray,
+    entry: int,
+    queries: jnp.ndarray,
+    k: int,
+    ef: int,
+    max_steps: int = 0,
+):
+    """ADC-distance batched HNSW search over PQ codes (nnsearch.py:352-406)."""
+    from .pq import PQCodebook, pq_dist_table
+
+    N, M = codes.shape
+    ef = max(ef, k)
+    max_steps = max_steps or 4 * ef
+    luts = pq_dist_table(PQCodebook(codewords), queries)  # (Q, M, Ks)
+    codes32 = codes.astype(jnp.int32)
+
+    def _adc(lut, c):
+        # lut (M, Ks), c (n, M) -> (n,): sum_m lut[m, c[:, m]]
+        gathered = jax.vmap(lambda l, cm: l[cm], in_axes=(0, 1), out_axes=1)(lut, c)
+        return jnp.sum(gathered, axis=1)
+
+    def factory(lut):
+        def dist_to(ids):
+            c = codes32[jnp.clip(ids, 0)]                 # (n, M)
+            return jnp.where(ids >= 0, _adc(lut, c), INF)
+
+        return dist_to
+
+    search_one = make_hnsw_search(factory)
+
+    @partial(jax.vmap, in_axes=(0,))
+    def run(lut):
+        return search_one(lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N)
+
+    ids, scores = jax.jit(run)(luts)
+    return scores, ids

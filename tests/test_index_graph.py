@@ -1,0 +1,139 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from image_search_engine_for_historical_research_tpu.index import (
+    build_flat,
+    build_hnsw,
+    build_hnsw_pq,
+    build_rpforest,
+    load_index,
+    save_index,
+)
+
+
+def clustered(N=1000, D=32, k=25, seed=0, spread=0.2):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, D)).astype(np.float32)
+    x = centers[rng.integers(0, k, N)] + spread * rng.standard_normal((N, D)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def recall_at(exact, approx, k):
+    exact, approx = np.asarray(exact)[:, :k], np.asarray(approx)[:, :k]
+    return np.mean([
+        len(set(exact[i]) & set(approx[i])) / k for i in range(exact.shape[0])
+    ])
+
+
+@pytest.fixture(scope="module")
+def data():
+    x = clustered()
+    rng = np.random.default_rng(99)
+    q = x[rng.integers(0, 1000, 15)] + 0.02 * rng.standard_normal((15, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    flat = build_flat(x)
+    _, exact = flat.search(q, 10)
+    return x, q, exact
+
+
+class TestHNSW:
+    def test_graph_structure(self, data):
+        x, q, exact = data
+        ix = build_hnsw(x, m=8, ef_construction=64)
+        nbr0 = np.asarray(ix.nbr0)
+        assert nbr0.shape == (1000, 16)
+        # no self-loops, ids valid
+        assert nbr0.max() < 1000
+        rows = np.arange(1000)
+        real = nbr0 >= 0
+        assert not np.any(nbr0[real] == np.repeat(rows, real.sum(1)))
+        # graph is well connected at level 0
+        assert real.sum(1).mean() > 4
+
+    def test_recall_vs_exact(self, data):
+        x, q, exact = data
+        ix = build_hnsw(x, m=16, ef_construction=128)
+        _, approx = ix.search(q, 10, ef=128)
+        r = recall_at(exact, approx, 10)
+        assert r > 0.9, r
+
+    def test_higher_ef_no_worse(self, data):
+        x, q, exact = data
+        ix = build_hnsw(x, m=8, ef_construction=64)
+        _, a_small = ix.search(q, 10, ef=16)
+        _, a_big = ix.search(q, 10, ef=256)
+        assert recall_at(exact, a_big, 10) >= recall_at(exact, a_small, 10) - 0.05
+
+    def test_save_load(self, data, tmp_path):
+        x, q, exact = data
+        ix = build_hnsw(x, m=8, ef_construction=32)
+        s0, i0 = ix.search(q, 5)
+        save_index(ix, str(tmp_path / "h"))
+        loaded = load_index(str(tmp_path / "h"))
+        s1, i1 = loaded.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+class TestHNSWPQ:
+    def test_search_expands_unique_codes(self, data):
+        x, q, exact = data
+        ix = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64)
+        scores, idx = ix.search(q, 10)
+        idx = np.asarray(idx)
+        assert idx.shape == (15, 10)
+        assert idx.min() >= 0 and idx.max() < 1000
+        # each row has no duplicate ids
+        for row in idx:
+            assert len(set(row.tolist())) == 10
+        # the true nearest neighbour's id should usually be retrieved
+        top1 = np.asarray(exact)[:, 0]
+        hit = np.mean([top1[i] in idx[i] for i in range(15)])
+        assert hit > 0.7, hit
+
+    def test_save_load(self, data, tmp_path):
+        x, q, _ = data
+        ix = build_hnsw_pq(x, M=4, Ks=16, m=4, ef_construction=16)
+        s0, i0 = ix.search(q, 5)
+        save_index(ix, str(tmp_path / "hpq"))
+        loaded = load_index(str(tmp_path / "hpq"))
+        s1, i1 = loaded.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+class TestRPForest:
+    def test_balanced_leaves(self, data):
+        x, *_ = data
+        ix = build_rpforest(x, n_trees=4, leaf_size=64)
+        items = np.asarray(ix.leaf_items)
+        T, L, W = items.shape
+        counts = (items >= 0).sum(axis=2)
+        # every tree partitions all items across leaves
+        assert (counts.sum(axis=1) == 1000).all()
+        # balanced: no leaf more than 2x the ideal size
+        assert counts.max() <= 2 * (1000 // L) + 2
+
+    def test_recall_vs_exact(self, data):
+        x, q, exact = data
+        ix = build_rpforest(x, n_trees=16, leaf_size=64)
+        _, approx = ix.search(q, 10)
+        r = recall_at(exact, approx, 10)
+        assert r > 0.8, r
+
+    def test_more_trees_no_worse(self, data):
+        x, q, exact = data
+        few = build_rpforest(x, n_trees=2, leaf_size=64)
+        many = build_rpforest(x, n_trees=24, leaf_size=64)
+        _, a_few = few.search(q, 10)
+        _, a_many = many.search(q, 10)
+        assert recall_at(exact, a_many, 10) >= recall_at(exact, a_few, 10)
+
+    def test_save_load(self, data, tmp_path):
+        x, q, _ = data
+        ix = build_rpforest(x, n_trees=4, leaf_size=64)
+        s0, i0 = ix.search(q, 5)
+        save_index(ix, str(tmp_path / "rp"))
+        loaded = load_index(str(tmp_path / "rp"))
+        s1, i1 = loaded.search(q, 5)
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
