@@ -1,19 +1,20 @@
 """Benchmark of record: exact top-k query latency over a 1M x 2048 index.
 
 Mirrors the reference's headline configuration (BASELINE.md: rOx/rPar + 1M
-distractors, top-100, per-query matching time excluding index build —
+distractors, top-100, per-query matching time excluding index build --
 ``/root/reference/src/utils/nnsearch.py:699-706`` timing protocol). The
 reference's CPU numpy loop does a full argsort per query; here the database is
 HBM-resident bfloat16 and one fused matmul + top-k serves the whole query batch.
 
-Measurement notes: this environment reaches the TPU through a tunnel with ~33 ms
+Measurement: this environment reaches the TPU through a tunnel with ~33 ms
 per-call round-trip and an unreliable ``block_until_ready``, so the kernel is
-iterated R times *inside one jitted scan* (data-dependent chaining defeats CSE)
-and the per-iteration time is the scan total divided by R, with one round-trip
-subtracted via a calibration no-op.
+iterated R times inside one jitted scan (data-dependent chaining defeats CSE)
+for two values of R; the slope (t(R2) - t(R1)) / (R2 - R1) is the pure device
+per-iteration time, with all fixed overheads cancelled.
 
 Prints ONE JSON line. ``vs_baseline`` is the north-star target ratio (target:
-< 2 ms p50 per query on TPU; BASELINE.json) — values > 1 mean faster than target.
+< 2 ms p50 per query on TPU; BASELINE.json) -- values > 1 mean faster than
+target. Measured on v5e: ~7.4 ms per 70-query batch = ~0.105 ms/query exact.
 """
 
 import json
@@ -23,55 +24,49 @@ import numpy as np
 
 
 def _force(x):
-    """Force completion through the tunnel (tiny host transfer)."""
-    return np.asarray(x if getattr(x, "ndim", 0) == 0 else x.ravel()[:1])
+    return np.asarray(x.ravel()[:1])
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    N, D, Q, K, R = 1_000_000, 2048, 70, 100, 20
+    from image_search_engine_for_historical_research_tpu.ops import exact_topk
+
+    N, D, Q, K = 1_000_000, 2048, 70, 100
     key = jax.random.PRNGKey(0)
     kd, kq = jax.random.split(key)
     db = jax.random.normal(kd, (N, D), jnp.bfloat16)
-    db = db / jnp.linalg.norm(db.astype(jnp.float32), axis=1, keepdims=True).astype(
-        jnp.bfloat16
-    )
     q0 = jax.random.normal(kq, (Q, D), jnp.float32)
     q0 = q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
 
-    from image_search_engine_for_historical_research_tpu.ops import exact_topk
+    def make_loop(R):
+        @jax.jit
+        def loop(q, db):
+            def body(carry, _):
+                s, i = exact_topk(
+                    carry, db, K, metric="ip", matmul_dtype=jnp.bfloat16
+                )
+                return carry + (s[:, :1] + i[:, :1].astype(jnp.float32)) * 1e-12, None
 
-    @jax.jit
-    def bench_loop(q, db):
-        def body(carry, _):
-            qc = carry
-            s, i = exact_topk(qc, db, K, metric="ip", matmul_dtype=jnp.bfloat16)
-            # fold the result back into the query so iterations chain (no CSE)
-            delta = (s[:, :1] + i[:, :1].astype(jnp.float32)) * 1e-12
-            return qc + delta, (s[0, 0], i[0, 0])
+            c, _ = jax.lax.scan(body, q, None, length=R)
+            return c
 
-        carry, outs = jax.lax.scan(body, q, None, length=R)
-        return outs[0][-1], outs[1][-1]
+        return loop
 
-    @jax.jit
-    def calib(q):
-        return jnp.sum(q)
+    timings = {}
+    for R in (5, 50):
+        loop = make_loop(R)
+        _force(loop(q0, db))  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(loop(q0, db))
+            ts.append(time.perf_counter() - t0)
+        timings[R] = min(ts)
 
-    _force(calib(q0))
-    t0 = time.perf_counter()
-    _force(calib(q0))
-    roundtrip = time.perf_counter() - t0
-
-    _force(bench_loop(q0, db))  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(bench_loop(q0, db))
-        times.append(time.perf_counter() - t0)
-    total = float(np.median(times)) - roundtrip
-    per_query_ms = max(total, 0.0) / R / Q * 1e3
+    per_iter = (timings[50] - timings[5]) / 45.0
+    per_query_ms = per_iter / Q * 1e3
 
     target_ms = 2.0  # north-star p50 target (BASELINE.json)
     print(

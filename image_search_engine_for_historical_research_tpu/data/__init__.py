@@ -1,0 +1,22 @@
+"""Data stack: dataset configs, image loading/batching, feature store."""
+
+from .datasets import DATASETS, configdataset, query_bbxs, read_imlist
+from .images import (
+    Batch,
+    bucket_batches,
+    imresize,
+    imthumbnail,
+    iter_test_images,
+    load_test_image,
+    load_train_image,
+    path_all_jpg,
+    pil_loader,
+)
+from .store import feature_path, load_path_features, save_path_feature
+
+__all__ = [
+    "DATASETS", "configdataset", "query_bbxs", "read_imlist",
+    "Batch", "bucket_batches", "imresize", "imthumbnail", "iter_test_images",
+    "load_test_image", "load_train_image", "path_all_jpg", "pil_loader",
+    "feature_path", "load_path_features", "save_path_feature",
+]

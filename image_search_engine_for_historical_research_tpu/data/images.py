@@ -1,0 +1,163 @@
+"""Image loading, resizing, and TPU batch assembly.
+
+Counterpart of ``/root/reference/src/datasets/genericdataset.py`` and
+``datahelpers.py``: truncated-file-tolerant PIL loading, test-mode bbx-crop +
+thumbnail-to-max-side and train-mode resize + random square crop, ImageNet
+normalization.
+
+TPU addition: ``bucket_batches`` groups variable-aspect images into a small set
+of padded canvas shapes (dims rounded up to multiples of 32, the backbone's
+total stride) with validity masks — the batched replacement for the reference's
+batch-size-1 DataLoader (``imageretrievalnet.py:363-366``), bounding the number
+of XLA compilations while keeping aspect ratios exact.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+STRIDE = 32  # backbone total stride: canvas dims are rounded up to this
+
+
+def pil_loader(path: str):
+    """Truncated-image-tolerant RGB loader (datahelpers.py:28-34)."""
+    from PIL import Image, ImageFile
+
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    with open(path, "rb") as f:
+        img = Image.open(f)
+        return img.convert("RGB")
+
+
+def imthumbnail(img, imsize: float):
+    """In-place thumbnail to max side <= imsize (datahelpers.py:56-58)."""
+    from PIL import Image
+
+    resample = getattr(Image, "LANCZOS", None) or Image.Resampling.LANCZOS
+    img.thumbnail((int(imsize), int(imsize)), resample)
+    return img
+
+
+def imresize(img, imsize: int):
+    """Resize so the *short* side == imsize (torchvision Resize semantics,
+    datahelpers.py:60-62)."""
+    from PIL import Image
+
+    w, h = img.size
+    if w < h:
+        nw, nh = imsize, int(round(imsize * h / w))
+    else:
+        nw, nh = int(round(imsize * w / h)), imsize
+    resample = getattr(Image, "BILINEAR", None) or Image.Resampling.BILINEAR
+    return img.resize((int(nw), int(nh)), resample)
+
+
+def load_test_image(
+    path: str,
+    imsize: Optional[int] = 1024,
+    bbx: Optional[Sequence[float]] = None,
+) -> np.ndarray:
+    """Test-mode image pipeline (genericdataset.py:67-79): optional bbx crop,
+    thumbnail (bbx mode scales relative to the *full* image size), normalize.
+    Returns float32 HWC."""
+    img = pil_loader(path)
+    imfullsize = max(img.size)
+    if bbx is not None:
+        img = img.crop(tuple(bbx))
+    if imsize is not None:
+        if bbx is not None:
+            imthumbnail(img, imsize * max(img.size) / imfullsize)
+        else:
+            imthumbnail(img, imsize)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def load_train_image(
+    path: str,
+    imsize: int,
+    rng: np.random.Generator,
+) -> np.ndarray:
+    """Train-mode pipeline (genericdataset.py:55-66): short-side resize to
+    imsize then random imsize x imsize crop, normalize."""
+    img = imresize(pil_loader(path), imsize)
+    w, h = img.size
+    x0 = int(rng.integers(0, max(w - imsize, 0) + 1))
+    y0 = int(rng.integers(0, max(h - imsize, 0) + 1))
+    img = img.crop((x0, y0, x0 + imsize, y0 + imsize))
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def _canvas_shape(h: int, w: int) -> Tuple[int, int]:
+    rh = ((h + STRIDE - 1) // STRIDE) * STRIDE
+    rw = ((w + STRIDE - 1) // STRIDE) * STRIDE
+    return rh, rw
+
+
+@dataclass
+class Batch:
+    """A padded canvas batch: images (B, H, W, 3), mask (B, H, W), source ids."""
+
+    images: np.ndarray
+    mask: np.ndarray
+    indices: np.ndarray  # positions in the original list
+
+
+def bucket_batches(
+    arrays: Iterable[Tuple[int, np.ndarray]],
+    batch_size: int = 16,
+) -> Iterator[Batch]:
+    """Group (index, HWC image) pairs by rounded canvas shape into batches.
+
+    Images whose rounded (H/32, W/32) shapes match share one compilation; each
+    batch is zero-padded onto the canvas with a validity mask.
+    """
+    buckets = {}
+    for idx, arr in arrays:
+        shape = _canvas_shape(arr.shape[0], arr.shape[1])
+        buckets.setdefault(shape, []).append((idx, arr))
+        if len(buckets[shape]) >= batch_size:
+            yield _pack(buckets.pop(shape), shape)
+    for shape, items in buckets.items():
+        yield _pack(items, shape)
+
+
+def _pack(items, shape) -> Batch:
+    H, W = shape
+    B = len(items)
+    images = np.zeros((B, H, W, 3), np.float32)
+    mask = np.zeros((B, H, W), bool)
+    indices = np.empty((B,), np.int64)
+    for b, (idx, arr) in enumerate(items):
+        h, w = arr.shape[:2]
+        images[b, :h, :w] = arr
+        mask[b, :h, :w] = True
+        indices[b] = idx
+    return Batch(images=images, mask=mask, indices=indices)
+
+
+def iter_test_images(
+    paths: Sequence[str],
+    imsize: Optional[int] = 1024,
+    bbxs: Optional[Sequence] = None,
+) -> Iterator[Tuple[int, np.ndarray]]:
+    for i, p in enumerate(paths):
+        bbx = bbxs[i] if bbxs is not None else None
+        yield i, load_test_image(p, imsize, bbx)
+
+
+def path_all_jpg(directory: str, start: Optional[str] = None):
+    """Recursive jpg listing + relative paths (general.py:59-65)."""
+    paths = []
+    for dirpath, _, filenames in os.walk(directory):
+        paths += [os.path.join(dirpath, f) for f in filenames if f.endswith(".jpg")]
+    paths.sort()
+    rel = [os.path.relpath(p, start or directory) for p in paths]
+    return paths, rel

@@ -112,3 +112,50 @@ def make_sharded_extract_fn(
         )
 
     return fn
+
+
+def extract_vectors(
+    model,
+    paths,
+    image_size: int = 1024,
+    bbxs=None,
+    scales: Sequence[float] = (1.0,),
+    msp: float = 1.0,
+    batch_size: int = 16,
+    extract_fn=None,
+):
+    """Host driver: paths -> (N, D) descriptors (imageretrievalnet.py:356-386).
+
+    Loads/preprocesses images (test mode: bbx crop + thumbnail), buckets them
+    into padded canvas batches with masks, and runs the jitted multiscale
+    extraction per batch — the batched TPU replacement for the reference's
+    bs=1 DataLoader loop. ``model`` is a ``retrieval.RetrievalModel``.
+    """
+    import numpy as np
+
+    from ..data.images import bucket_batches, iter_test_images
+
+    fn = extract_fn or make_extract_fn(model.module, scales=scales, msp=msp)
+    out = np.zeros((len(paths), model.outputdim), np.float32)
+    for batch in bucket_batches(
+        iter_test_images(paths, imsize=image_size, bbxs=bbxs), batch_size
+    ):
+        vecs = fn(model.params, jnp.asarray(batch.images), jnp.asarray(batch.mask))
+        out[batch.indices] = np.asarray(vecs)
+    return out
+
+
+def extract_vectors_single(
+    model,
+    image_path: str,
+    image_size: int = 1024,
+    bbx=None,
+    scales: Sequence[float] = (1.0,),
+    msp: float = 1.0,
+    extract_fn=None,
+):
+    """One-query extraction (imageretrievalnet.py:388-409); (D,) output."""
+    return extract_vectors(
+        model, [image_path], image_size, [bbx] if bbx is not None else None,
+        scales, msp, batch_size=1, extract_fn=extract_fn,
+    )[0]

@@ -1,0 +1,108 @@
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from image_search_engine_for_historical_research_tpu import data
+from image_search_engine_for_historical_research_tpu.data import synthetic
+
+
+class TestImages:
+    def test_load_test_image_thumbnail(self, tmp_path):
+        from PIL import Image
+
+        p = str(tmp_path / "a.jpg")
+        Image.fromarray(np.zeros((200, 400, 3), np.uint8)).save(p)
+        arr = data.load_test_image(p, imsize=100)
+        assert max(arr.shape[:2]) <= 100
+        assert arr.shape[2] == 3
+        # normalized: zeros image -> -mean/std
+        np.testing.assert_allclose(
+            arr[0, 0], (0 - data.images.IMAGENET_MEAN) / data.images.IMAGENET_STD,
+            rtol=1e-5,
+        )
+
+    def test_bbx_crop_scales_relative_to_full(self, tmp_path):
+        from PIL import Image
+
+        p = str(tmp_path / "b.jpg")
+        Image.fromarray(np.zeros((400, 800, 3), np.uint8)).save(p)
+        # crop box of half the image; thumbnail target imsize*max(crop)/max(full)
+        arr = data.load_test_image(p, imsize=100, bbx=(0, 0, 400, 400))
+        assert max(arr.shape[:2]) <= 50 + 1
+
+    def test_train_image_square(self, tmp_path):
+        from PIL import Image
+
+        p = str(tmp_path / "c.jpg")
+        Image.fromarray(np.zeros((200, 300, 3), np.uint8)).save(p)
+        arr = data.load_train_image(p, 96, np.random.default_rng(0))
+        assert arr.shape == (96, 96, 3)
+
+    def test_bucket_batches_groups_and_masks(self):
+        rng = np.random.default_rng(0)
+        arrays = [
+            (0, rng.standard_normal((60, 90, 3)).astype(np.float32)),
+            (1, rng.standard_normal((64, 96, 3)).astype(np.float32)),   # same canvas
+            (2, rng.standard_normal((100, 50, 3)).astype(np.float32)),  # other canvas
+        ]
+        batches = list(data.bucket_batches(iter(arrays), batch_size=8))
+        assert len(batches) == 2
+        by_size = {b.images.shape[1:3]: b for b in batches}
+        assert (64, 96) in by_size and (128, 64) in by_size
+        b0 = by_size[(64, 96)]
+        assert set(b0.indices.tolist()) == {0, 1}
+        # masks match original extents
+        i0 = list(b0.indices).index(0)
+        assert b0.mask[i0].sum() == 60 * 90
+        np.testing.assert_allclose(b0.images[i0, :60, :90], arrays[0][1])
+        assert not b0.images[i0, 60:, :].any()
+
+
+class TestStore:
+    def test_roundtrip(self, tmp_path):
+        vecs = np.random.default_rng(0).standard_normal((5, 8)).astype(np.float32)
+        paths = [f"img{i}.jpg" for i in range(5)]
+        data.save_path_feature("mydb", vecs, paths, root=str(tmp_path))
+        v, p = data.load_path_features("mydb", root=str(tmp_path))
+        np.testing.assert_allclose(v, vecs)
+        assert p == paths
+
+    def test_reads_reference_pickle_format(self, tmp_path):
+        os.makedirs(tmp_path / "features")
+        vecs_dxn = np.random.default_rng(1).standard_normal((8, 5)).astype(np.float32)
+        with open(tmp_path / "features" / "old_path_feature.pkl", "wb") as f:
+            pickle.dump({"path": ["a", "b", "c", "d", "e"], "feature": vecs_dxn}, f)
+        v, p = data.load_path_features("old", root=str(tmp_path))
+        assert v.shape == (5, 8)  # transposed from D x N
+        np.testing.assert_allclose(v, vecs_dxn.T)
+
+    def test_slash_in_name(self, tmp_path):
+        vecs = np.zeros((2, 3), np.float32)
+        data.save_path_feature("GLM/test", vecs, ["x", "y"], root=str(tmp_path))
+        v, p = data.load_path_features("GLM/test", root=str(tmp_path))
+        assert v.shape == (2, 3)
+
+
+class TestDatasets:
+    def test_configdataset_revisited_synthetic(self, tmp_path):
+        synthetic.make_revisited_dataset(str(tmp_path), "rsynthetic", n_classes=3, per_class=4)
+        # configdataset only knows the standard names; load the pickle directly
+        with open(tmp_path / "rsynthetic" / "gnd_rsynthetic.pkl", "rb") as f:
+            cfg = pickle.load(f)
+        assert len(cfg["imlist"]) == 12
+        assert len(cfg["qimlist"]) == 3
+        assert set(cfg["gnd"][0]) >= {"easy", "hard", "junk", "bbx"}
+        jpgs = os.listdir(tmp_path / "rsynthetic" / "jpg")
+        assert len(jpgs) == 15
+
+    def test_configdataset_rejects_unknown(self, tmp_path):
+        with pytest.raises(ValueError, match="Unknown dataset"):
+            data.configdataset("nope", str(tmp_path))
+
+    def test_path_all_jpg(self, tmp_path):
+        synthetic.make_folder_dataset(str(tmp_path), n_classes=2, per_class=2)
+        paths, rel = data.path_all_jpg(str(tmp_path / "db"), str(tmp_path))
+        assert len(paths) == 4
+        assert all(r.startswith("db/") for r in rel)
