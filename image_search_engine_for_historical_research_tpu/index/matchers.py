@@ -1,0 +1,202 @@
+"""Reference-parity matcher API: the ``matching_*`` function family.
+
+Drop-in counterparts of the reference's matcher functions
+(``/root/reference/src/utils/nnsearch.py``), with the same inputs/outputs —
+``(idx (num_test, K) int64, time_per_query seconds)`` — and the same
+``ifgenerate`` build-or-load artifact contract, but with row-major arrays,
+npz/manifest artifacts instead of pickled live objects, and every search running
+as jitted TPU programs. Matching the reference, input features are row-L2-
+normalized inside each matcher.
+
+Timing follows the reference protocol: the clock covers the search only, never
+the index build (nnsearch.py:699-706 et al.). One caveat carried over honestly:
+on TPU the first call includes XLA compilation; pass ``warmup=True`` (default)
+to exclude it like the reference excludes faiss index training.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hashing import fractional_topk, hamming_topk, lsh_encode, lsh_hyperplanes
+from .base import load_index, normalize_rows, save_index
+from .flat import build_flat
+from .hnsw import build_hnsw, build_hnsw_pq
+from .ivfpq import build_ivfpq
+from .pq import build_pq
+from .rpforest import build_rpforest
+
+
+def _as_rows(x) -> jnp.ndarray:
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+def _timed_search(index, qvecs, K, warmup=True):
+    if warmup:
+        index.search(qvecs[:1], min(K, index.n))
+    t1 = time.time()
+    scores, idx = index.search(qvecs, K)
+    idx = np.asarray(idx, np.int64)
+    t2 = time.time()
+    return idx, (t2 - t1) / qvecs.shape[0]
+
+
+def _artifact(dataset: str, name: str, outputs: str = "outputs") -> str:
+    d = os.path.join(outputs, dataset)
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+def matching_L2(K, train, test, warmup=True):
+    """Exact search (nnsearch.py:687-706)."""
+    db = normalize_rows(_as_rows(train))
+    q = normalize_rows(_as_rows(test))
+    index = build_flat(db, metric="cosine")
+    return _timed_search(index, q, min(K, db.shape[0]), warmup)
+
+
+def matching_fractional_dis(K, train, test, p=0.5, warmup=True):
+    """Fractional-distance matcher (nnsearch.py:709-731)."""
+    db = normalize_rows(_as_rows(train))
+    q = normalize_rows(_as_rows(test))
+    if warmup:
+        fractional_topk(db, q[:1], min(K, db.shape[0]), p)
+    t1 = time.time()
+    _, idx = fractional_topk(db, q, min(K, db.shape[0]), p)
+    idx = np.asarray(idx, np.int64)
+    t2 = time.time()
+    return idx, (t2 - t1) / q.shape[0]
+
+
+def matching_LSH(K, train, test, n_bits=512, seed=42, warmup=True):
+    """Random-hyperplane LSH + Hamming scan (nnsearch.py:734-745)."""
+    db = normalize_rows(_as_rows(train))
+    q = normalize_rows(_as_rows(test))
+    planes = lsh_hyperplanes(db.shape[1], n_bits, seed)
+    db_codes = lsh_encode(planes, db)
+    q_codes = lsh_encode(planes, q)
+    if warmup:
+        hamming_topk(db_codes, q_codes[:1], min(K, db.shape[0]))
+    t1 = time.time()
+    _, idx = hamming_topk(db_codes, q_codes, min(K, db.shape[0]))
+    idx = np.asarray(idx, np.int64)
+    t2 = time.time()
+    return idx, (t2 - t1) / q.shape[0]
+
+
+def matching_Greedyhash(K, hash_train, hash_test, warmup=True):
+    """Hamming matcher over external binary codes (nnsearch.py:1001-1013)."""
+    from ..ops.hashing import pack_bits
+
+    db = pack_bits(jnp.asarray(np.asarray(hash_train) > 0))
+    q = pack_bits(jnp.asarray(np.asarray(hash_test) > 0))
+    if warmup:
+        hamming_topk(db, q[:1], min(K, db.shape[0]))
+    t1 = time.time()
+    _, idx = hamming_topk(db, q, min(K, db.shape[0]))
+    idx = np.asarray(idx, np.int64)
+    t2 = time.time()
+    return idx, (t2 - t1) / q.shape[0]
+
+
+def _build_or_load(path, ifgenerate, builder):
+    if ifgenerate or not os.path.exists(os.path.join(path, "manifest.json")):
+        index = builder()
+        save_index(index, path)
+        return index
+    return load_index(path)
+
+
+def matching_Nano_PQ(
+    K, train, test, dataset, N_books=16, n_bits_perbook=8,
+    ifgenerate=True, outputs="outputs", warmup=True,
+):
+    """PQ + asymmetric-distance scan (nnsearch.py:847-901)."""
+    q = normalize_rows(_as_rows(test))
+    path = _artifact(dataset, "pq", outputs)
+    index = _build_or_load(
+        path, ifgenerate,
+        lambda: build_pq(_as_rows(train), M=N_books, Ks=2 ** n_bits_perbook),
+    )
+    return _timed_search(index, q, min(K, index.n), warmup)
+
+
+def matching_ANNOY(
+    K, train, test, metric="euclidean", dataset="default", n_trees=32,
+    leaf_size=128, ifgenerate=True, outputs="outputs", warmup=True,
+):
+    """RP-forest, the ANNOY-class matcher (nnsearch.py:1016-1051)."""
+    q = normalize_rows(_as_rows(test))
+    path = _artifact(dataset, "rpforest", outputs)
+    index = _build_or_load(
+        path, ifgenerate,
+        lambda: build_rpforest(_as_rows(train), n_trees=n_trees, leaf_size=leaf_size),
+    )
+    return _timed_search(index, q, min(K, index.n), warmup)
+
+
+def matching_HNSW(
+    K, train, test, dataset, m=16, ef=100,
+    ifgenerate=True, outputs="outputs", warmup=True,
+):
+    """HNSW graph matcher (nnsearch.py:487-538; params from offline.py:114)."""
+    q = normalize_rows(_as_rows(test))
+    path = _artifact(dataset, "hnsw", outputs)
+    index = _build_or_load(
+        path, ifgenerate,
+        lambda: build_hnsw(_as_rows(train), m=m, ef_construction=ef),
+    )
+    return _timed_search(index, q, min(K, index.n), warmup)
+
+
+def matching_HNSW_NanoPQ(
+    K, train, test, dataset, N_books=16, N_words=256, m=16, ef=100,
+    ifgenerate=True, outputs="outputs", warmup=True,
+):
+    """PQ-encode + dedupe + HNSW over unique codes (nnsearch.py:585-683)."""
+    q = normalize_rows(_as_rows(test))
+    path = _artifact(dataset, "hnsw_pq", outputs)
+    index = _build_or_load(
+        path, ifgenerate,
+        lambda: build_hnsw_pq(
+            _as_rows(train), M=N_books, Ks=N_words, m=m, ef_construction=ef
+        ),
+    )
+    return _timed_search(index, q, min(K, index.n), warmup)
+
+
+def matching_IVFPQ(
+    K, train, test, dataset, nlist=316, M=16, nbits=8, nprobe=64,
+    ifgenerate=True, outputs="outputs", warmup=True,
+):
+    """IVF-PQ matcher (the faiss ANN of knn.py:43-54)."""
+    q = normalize_rows(_as_rows(test))
+    path = _artifact(dataset, "ivfpq", outputs)
+    index = _build_or_load(
+        path, ifgenerate,
+        lambda: build_ivfpq(
+            _as_rows(train), nlist=nlist, M=M, Ks=2 ** nbits, nprobe=nprobe
+        ),
+    )
+    return _timed_search(index, q, min(K, index.n), warmup)
+
+
+# method-name dispatch used by the CLIs (offline.py:107-116 / online.py:130-143)
+MATCHERS: Dict[str, Callable] = {
+    "L2": matching_L2,
+    "fractional": matching_fractional_dis,
+    "LSH": matching_LSH,
+    "PQ": matching_Nano_PQ,
+    "Nano_PQ": matching_Nano_PQ,
+    "ANNOY": matching_ANNOY,
+    "HNSW": matching_HNSW,
+    "PQ_HNSW": matching_HNSW_NanoPQ,
+    "HNSW_NanoPQ": matching_HNSW_NanoPQ,
+    "IVFPQ": matching_IVFPQ,
+    "Greedyhash": matching_Greedyhash,
+}

@@ -1,0 +1,162 @@
+"""Online query service: stdlib WSGI app over the shared jitted kernels.
+
+Counterpart of the reference's Flask app (``/root/reference/src/online.py``):
+load the network and the gallery feature store at startup, accept an uploaded
+query image on ``POST /``, extract its descriptor, search the chosen index,
+re-rank with the serving-path query expansion (``qge1``, Reranking.py:287-306),
+and return the top-K gallery paths. Flask isn't available in this environment,
+and isn't needed: the app is a plain WSGI callable served by ``wsgiref`` (or any
+production WSGI server), returning HTML for browsers and JSON for API clients.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+import time
+from email.parser import BytesParser
+from email.policy import default as email_policy
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.extract import extract_vectors_single, make_extract_fn
+from ..rerank.qe import qge1
+
+
+class SearchService:
+    """Extraction + search + re-rank behind one object (online.py:94-158)."""
+
+    def __init__(
+        self,
+        model,
+        index,
+        gallery_vecs: np.ndarray,
+        gallery_paths: Sequence[str],
+        K: int = 10,
+        scales: Sequence[float] = (1.0,),
+        image_size: int = 1024,
+        rerank: bool = True,
+    ):
+        self.model = model
+        self.index = index
+        self.vecs = np.asarray(gallery_vecs, np.float32)
+        self.paths = list(gallery_paths)
+        self.K = K
+        self.scales = tuple(scales)
+        self.image_size = image_size
+        self.rerank = rerank
+        self._extract_fn = make_extract_fn(model.module, scales=self.scales)
+
+    def query_image(self, image_path: str) -> Tuple[List[dict], dict]:
+        """Full serving path; returns (results, timing dict)."""
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        qvec = extract_vectors_single(
+            self.model, image_path, self.image_size, scales=self.scales,
+            extract_fn=self._extract_fn,
+        )
+        t1 = time.time()
+        scores, idx = self.index.search(qvec[None, :], self.K)
+        t2 = time.time()
+        idx = np.asarray(idx)
+        if self.rerank:
+            # seed full ranks with the index shortlist then one qge1 iteration
+            ranks = qge1(jnp.asarray(idx), jnp.asarray(qvec[None, :]),
+                         jnp.asarray(self.vecs), k=min(3, idx.shape[1]))
+            final = np.asarray(ranks)[0, : self.K]
+        else:
+            final = idx[0]
+        t3 = time.time()
+        results = [
+            {"rank": r, "path": self.paths[i], "id": int(i)}
+            for r, i in enumerate(final[: self.K])
+        ]
+        timing = {
+            "extract_s": t1 - t0,
+            "search_s": t2 - t1,
+            "rerank_s": t3 - t2,
+        }
+        return results, timing
+
+
+_PAGE = """<!doctype html>
+<html><head><title>Historical Image Search</title></head>
+<body>
+<h1>Historical Image Search (TPU)</h1>
+<form method="post" enctype="multipart/form-data">
+  <input type="file" name="file" accept="image/*">
+  <input type="submit" value="Search">
+</form>
+{results}
+</body></html>"""
+
+
+def _parse_upload(environ) -> Optional[bytes]:
+    """Extract the uploaded file from a multipart POST (or raw image body)."""
+    ctype = environ.get("CONTENT_TYPE", "")
+    length = int(environ.get("CONTENT_LENGTH") or 0)
+    body = environ["wsgi.input"].read(length)
+    if ctype.startswith("multipart/form-data"):
+        msg = BytesParser(policy=email_policy).parsebytes(
+            b"Content-Type: " + ctype.encode() + b"\r\n\r\n" + body
+        )
+        for part in msg.iter_parts():
+            if part.get_filename():
+                return part.get_payload(decode=True)
+        return None
+    if ctype.startswith("image/") and body:
+        return body
+    return None
+
+
+def make_wsgi_app(service: SearchService):
+    """WSGI callable: GET / form, POST / query (online.py:107-159)."""
+
+    def app(environ, start_response):
+        method = environ["REQUEST_METHOD"]
+        if method == "GET":
+            page = _PAGE.format(results="")
+            start_response("200 OK", [("Content-Type", "text/html")])
+            return [page.encode()]
+
+        if method == "POST":
+            payload = _parse_upload(environ)
+            if not payload:
+                start_response("400 Bad Request", [("Content-Type", "application/json")])
+                return [b'{"error": "no image uploaded"}']
+            with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as f:
+                f.write(payload)
+                tmp = f.name
+            try:
+                results, timing = service.query_image(tmp)
+            finally:
+                os.unlink(tmp)
+
+            accept = environ.get("HTTP_ACCEPT", "")
+            if "application/json" in accept:
+                start_response("200 OK", [("Content-Type", "application/json")])
+                return [json.dumps({"results": results, "timing": timing}).encode()]
+            rows = "".join(
+                f"<li>#{r['rank']}: {r['path']}</li>" for r in results
+            )
+            page = _PAGE.format(results=f"<ol start=0>{rows}</ol>")
+            start_response("200 OK", [("Content-Type", "text/html")])
+            return [page.encode()]
+
+        start_response("405 Method Not Allowed", [("Content-Type", "text/plain")])
+        return [b"method not allowed"]
+
+    return app
+
+
+def serve(service: SearchService, host: str = "0.0.0.0", port: int = 8080):
+    """Blocking dev server (the reference binds 0.0.0.0, online.py:163)."""
+    from wsgiref.simple_server import make_server
+
+    httpd = make_server(host, port, make_wsgi_app(service))
+    print(f"serving on http://{host}:{port}")
+    httpd.serve_forever()

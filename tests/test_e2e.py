@@ -1,0 +1,159 @@
+"""End-to-end pipeline tests: images on disk -> extraction -> index -> serve.
+
+These drive the real CLI/service surfaces with a small model (resnet50 config)
+over synthetic on-disk datasets — the test pyramid's integration layer the
+reference never had (SURVEY.md section 4).
+"""
+
+import io
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import image_search_engine_for_historical_research_tpu as isehr
+from image_search_engine_for_historical_research_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    db_paths, q_paths = synthetic.make_folder_dataset(
+        str(root / "data"), n_classes=3, per_class=4, size=(64, 96), seed=0
+    )
+    return root, db_paths, q_paths
+
+
+@pytest.fixture(scope="module")
+def small_model(monkeypatch_module=None):
+    from image_search_engine_for_historical_research_tpu.cli import common
+
+    return common.load_network(None, "resnet50")
+
+
+def test_offline_cli_builds_store_and_index(workspace, small_model, monkeypatch):
+    from image_search_engine_for_historical_research_tpu.cli import common, offline
+
+    root, db_paths, q_paths = workspace
+    monkeypatch.setattr(common, "load_network", lambda *a, **k: small_model)
+    monkeypatch.setattr(offline, "load_network", lambda *a, **k: small_model)
+    rc = offline.main([
+        "--datasets", "db",
+        "--data-root", str(root / "data"),
+        "--matching-method", "HNSW",
+        "--ifgenerate",
+        "--outputs", str(root / "outputs"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--batch-size", "4",
+    ])
+    assert rc == 0
+    assert os.path.exists(root / "outputs" / "features" / "db_path_feature.npz")
+    assert os.path.exists(root / "outputs" / "db" / "hnsw" / "manifest.json")
+
+
+def test_online_service_query(workspace, small_model, monkeypatch):
+    from image_search_engine_for_historical_research_tpu.cli import online
+    from image_search_engine_for_historical_research_tpu.serving.app import (
+        make_wsgi_app,
+    )
+
+    root, db_paths, q_paths = workspace
+    monkeypatch.setattr(online, "load_network", lambda *a, **k: small_model)
+
+    args = online.build_parser().parse_args([
+        "--datasets", "db",
+        "--matching-method", "HNSW",
+        "--outputs", str(root / "outputs"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--K", "5",
+    ])
+    service = online.make_service(args)
+    app = make_wsgi_app(service)
+
+    # POST a real query image through the WSGI surface
+    with open(q_paths[0], "rb") as f:
+        payload = f.read()
+    environ = {
+        "REQUEST_METHOD": "POST",
+        "CONTENT_TYPE": "image/jpeg",
+        "CONTENT_LENGTH": str(len(payload)),
+        "wsgi.input": io.BytesIO(payload),
+        "HTTP_ACCEPT": "application/json",
+    }
+    status_headers = {}
+
+    def start_response(status, headers):
+        status_headers["status"] = status
+
+    body = b"".join(app(environ, start_response))
+    assert status_headers["status"] == "200 OK"
+    out = json.loads(body)
+    assert len(out["results"]) == 5
+    # top hit should be the query's own class (class0 queries hit class0 db)
+    assert "class0" in out["results"][0]["path"]
+    assert out["timing"]["extract_s"] > 0
+
+    # GET returns the upload form
+    environ_get = {"REQUEST_METHOD": "GET", "wsgi.input": io.BytesIO(b"")}
+    body = b"".join(app(environ_get, start_response))
+    assert b"<form" in body
+
+    # garbage upload is a 400, not a crash
+    environ_bad = {
+        "REQUEST_METHOD": "POST",
+        "CONTENT_TYPE": "text/plain",
+        "CONTENT_LENGTH": "3",
+        "wsgi.input": io.BytesIO(b"abc"),
+    }
+    body = b"".join(app(environ_bad, start_response))
+    assert status_headers["status"].startswith("400")
+
+
+def test_benchmark_cli_revisited_protocol(workspace, small_model, monkeypatch, capsys):
+    from image_search_engine_for_historical_research_tpu.cli import benchmark
+    from image_search_engine_for_historical_research_tpu.data import datasets as ds_mod
+
+    root, *_ = workspace
+    synthetic.make_revisited_dataset(
+        str(root / "rdata"), "roxford5k", n_classes=3, per_class=4, size=(64, 96)
+    )
+    monkeypatch.setattr(benchmark, "load_network", lambda *a, **k: small_model)
+    rc = benchmark.main([
+        "--datasets", "roxford5k",
+        "--data-root", str(root / "rdata"),
+        "--outputs", str(root / "outputs_bench"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--matching-method", "L2",
+        "--mode", "mAP",
+        "--qge",
+        "--batch-size", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mAP E" in out
+    assert "after alphaQE" in out
+    # random-weights model on easy color-separated classes should retrieve well
+    first_map = float(out.split("mAP E: ")[1].split(",")[0])
+    assert first_map > 50.0
+
+
+def test_custom_cli(workspace, small_model, monkeypatch, capsys):
+    from image_search_engine_for_historical_research_tpu.cli import test_custom
+
+    root, db_paths, q_paths = workspace
+    monkeypatch.setattr(test_custom, "load_network", lambda *a, **k: small_model)
+    rc = test_custom.main([
+        "--db-dir", str(root / "data" / "db"),
+        "--query-dir", str(root / "data" / "q"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--K", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "custom mAP" in out
