@@ -1,0 +1,211 @@
+"""Training loop: mining -> sharded steps -> validation -> checkpointing.
+
+Counterpart of ``/root/reference/src/main_train.py:164-435``: per-epoch tuple
+re-mining with the current network, contrastive(+SOS) steps, exponential LR
+decay (inside the optimizer schedule), best-by-validation-loss checkpointing
+with full resume. The reference's torch checkpoint dict {epoch, meta,
+state_dict, optimizer} becomes an orbax checkpoint of the TrainState + a json
+sidecar of meta/epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.images import load_train_image
+from ..models.extract import make_extract_fn
+from .optim import make_optimizer
+from .step import TrainState, init_train_state, make_train_step
+from .tuples import TuplesDataset, batch_tuples
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 10
+    lr: float = 1e-6
+    weight_decay: float = 1e-6
+    exp_decay: float = 0.01
+    loss: str = "contrastive"
+    margin: float = 0.7
+    lambda_sos: float = 0.0
+    image_size: int = 362          # reference --image-size default 362
+    nnum: int = 5
+    batch_tuples: int = 2          # tuples per step
+    qsize: int = 2000
+    poolsize: int = 20000
+    freeze_backbone: bool = True   # reference freezes conv1-4 with --soa
+    checkpoint_dir: str = "runs/default"
+    val_fraction: float = 0.1
+    seed: int = 0
+
+
+@dataclass
+class EpochMetrics:
+    epoch: int
+    train_loss: float
+    val_loss: float
+    n_tuples: int
+    seconds: float
+
+
+class Trainer:
+    """Drives the mining/step/validate/checkpoint cycle."""
+
+    def __init__(self, model, dataset: TuplesDataset, config: TrainConfig):
+        self.model = model
+        self.dataset = dataset
+        self.cfg = config
+        # the config owns the mining hyperparameters (main_train.py flags)
+        dataset.nnum = config.nnum
+        dataset.qsize = config.qsize
+        dataset.poolsize = config.poolsize
+        self.rng = np.random.default_rng(config.seed)
+
+        self.tx, _ = make_optimizer(
+            model.params["params"],
+            lr=config.lr,
+            weight_decay=config.weight_decay,
+            exp_decay=config.exp_decay,
+            freeze_backbone=config.freeze_backbone,
+        )
+        self.state = init_train_state(model.params, self.tx)
+        self.S = 2 + config.nnum
+        self.step_fn = make_train_step(
+            model.module, self.tx, S=self.S, loss=config.loss,
+            margin=config.margin, lambda_sos=config.lambda_sos,
+        )
+        # mining embeds at a reduced size like the reference (imsize//3 roughly;
+        # traindataset.py:430-464 uses imsize//3 with bs=50)
+        self._mine_size = max(64, (config.image_size // 3 + 31) // 32 * 32)
+        self._extract_fn = make_extract_fn(model.module, scales=(1.0,))
+        self.history: List[EpochMetrics] = []
+        self.best_val = float("inf")
+        self.start_epoch = 0
+
+    # --- embedding for mining ---
+    def _embed(self, paths):
+        from ..models.extract import extract_vectors
+
+        return extract_vectors(
+            self.model, paths, self._mine_size, scales=(1.0,),
+            batch_size=8, extract_fn=self._extract_fn,
+        )
+
+    def _load_square(self, idx: int):
+        return load_train_image(
+            self.dataset.images[idx], self.cfg.image_size, self.rng
+        )
+
+    # --- checkpointing (main_train.py:722-727 semantics) ---
+    def save_checkpoint(self, epoch: int, is_best: bool):
+        import orbax.checkpoint as ocp
+
+        d = os.path.abspath(self.cfg.checkpoint_dir)
+        os.makedirs(d, exist_ok=True)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.join(d, f"epoch_{epoch}"),
+                {"params": self.state.params, "step": self.state.step},
+                force=True,
+            )
+        meta = {
+            "epoch": epoch,
+            "meta": self.model.meta,
+            "best_val": self.best_val,
+            "history": [m.__dict__ for m in self.history],
+        }
+        with open(os.path.join(d, "train_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=float)
+        if is_best:
+            with open(os.path.join(d, "best.json"), "w") as f:
+                json.dump({"epoch": epoch}, f)
+
+    def resume(self):
+        """Restore the latest checkpoint if present (main_train.py:308-326)."""
+        import orbax.checkpoint as ocp
+
+        d = os.path.abspath(self.cfg.checkpoint_dir)
+        meta_path = os.path.join(d, "train_meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        with open(meta_path) as f:
+            meta = json.load(f)
+        epoch = meta["epoch"]
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.join(d, f"epoch_{epoch}"),
+                {"params": self.state.params, "step": self.state.step},
+            )
+        self.state = TrainState(
+            params=restored["params"],
+            opt_state=self.tx.init(restored["params"]["params"]),
+            step=restored["step"],
+        )
+        self.model.params = restored["params"]
+        self.best_val = float(meta.get("best_val", float("inf")))
+        self.start_epoch = epoch + 1
+        return True
+
+    # --- the loop ---
+    def fit(self, log: Optional[Callable[[str], None]] = print):
+        for epoch in range(self.start_epoch, self.cfg.epochs):
+            t0 = time.time()
+            self.model.params = self.state.params  # mining uses current weights
+            tuples = self.dataset.mine_epoch(self._embed, self.rng)
+            self.rng.shuffle(tuples)
+            n_val = max(1, int(len(tuples) * self.cfg.val_fraction))
+            val_tuples, train_tuples = tuples[:n_val], tuples[n_val:]
+
+            losses = []
+            for imgs, labels, S in batch_tuples(
+                train_tuples, self._load_square, self.cfg.batch_tuples
+            ):
+                self.state, loss = self.step_fn(
+                    self.state, jnp.asarray(imgs), jnp.asarray(labels)
+                )
+                losses.append(float(loss))
+
+            val_losses = []
+            from .step import make_loss_fn
+
+            loss_fn = jax.jit(
+                make_loss_fn(
+                    self.model.module, self.S, self.cfg.loss,
+                    self.cfg.margin, self.cfg.lambda_sos,
+                )
+            )
+            for imgs, labels, S in batch_tuples(
+                val_tuples, self._load_square,
+                min(self.cfg.batch_tuples, max(len(val_tuples), 1)),
+            ):
+                val_losses.append(
+                    float(loss_fn(self.state.params, jnp.asarray(imgs), jnp.asarray(labels)))
+                )
+
+            m = EpochMetrics(
+                epoch=epoch,
+                train_loss=float(np.mean(losses)) if losses else float("nan"),
+                val_loss=float(np.mean(val_losses)) if val_losses else float("nan"),
+                n_tuples=len(tuples),
+                seconds=time.time() - t0,
+            )
+            self.history.append(m)
+            is_best = m.val_loss < self.best_val
+            if is_best:
+                self.best_val = m.val_loss
+            self.save_checkpoint(epoch, is_best)
+            if log:
+                log(
+                    f"epoch {epoch}: train {m.train_loss:.4f} val {m.val_loss:.4f} "
+                    f"({m.n_tuples} tuples, {m.seconds:.1f}s)"
+                )
+        self.model.params = self.state.params
+        return self.history

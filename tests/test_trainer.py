@@ -1,0 +1,69 @@
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from image_search_engine_for_historical_research_tpu import models, train
+from image_search_engine_for_historical_research_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def train_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train")
+    db_paths, _ = synthetic.make_folder_dataset(
+        str(root / "data"), n_classes=3, per_class=4, size=(64, 64), seed=1
+    )
+    dataset = train.tuples_from_folders(db_paths)
+    model = models.init_network({"architecture": "resnet50"}, rng=jax.random.PRNGKey(0))
+    return root, dataset, model
+
+
+def test_mining_produces_valid_tuples(train_setup):
+    root, dataset, model = train_setup
+    from image_search_engine_for_historical_research_tpu.models.extract import (
+        extract_vectors,
+    )
+
+    def embed(paths):
+        return extract_vectors(model, paths, 64, scales=(1.0,), batch_size=4)
+
+    dataset.nnum = 2
+    tuples = dataset.mine_epoch(embed, np.random.default_rng(0))
+    assert len(tuples) > 0
+    for t in tuples:
+        assert dataset.cluster[t.query] == dataset.cluster[t.positive]
+        negc = [dataset.cluster[n] for n in t.negatives]
+        assert dataset.cluster[t.query] not in negc  # negatives from other clusters
+        assert len(set(negc)) == len(negc)           # <= 1 per cluster
+
+
+def test_trainer_epoch_and_resume(train_setup):
+    root, dataset, model = train_setup
+    dataset = train.tuples_from_folders(dataset.images)
+    dataset.nnum = 2
+    cfg = train.TrainConfig(
+        epochs=1, lr=1e-4, image_size=64, nnum=2, batch_tuples=2,
+        qsize=8, poolsize=12, checkpoint_dir=str(root / "run"),
+        val_fraction=0.25, exp_decay=0.0,
+    )
+    trainer = train.Trainer(model, dataset, cfg)
+    hist = trainer.fit(log=None)
+    assert len(hist) == 1
+    assert np.isfinite(hist[0].train_loss)
+    assert os.path.exists(root / "run" / "train_meta.json")
+
+    # resume continues from epoch 1
+    model2 = models.init_network({"architecture": "resnet50"}, rng=jax.random.PRNGKey(9))
+    cfg2 = train.TrainConfig(
+        epochs=2, lr=1e-4, image_size=64, nnum=2, batch_tuples=2,
+        qsize=8, poolsize=12, checkpoint_dir=str(root / "run"),
+        val_fraction=0.25, exp_decay=0.0,
+    )
+    trainer2 = train.Trainer(model2, dataset, cfg2)
+    assert trainer2.resume()
+    assert trainer2.start_epoch == 1
+    # restored params equal the saved ones, not the fresh init
+    p_saved = np.asarray(trainer.state.params["params"]["gem_p"])
+    p_restored = np.asarray(trainer2.state.params["params"]["gem_p"])
+    np.testing.assert_allclose(p_saved, p_restored)
