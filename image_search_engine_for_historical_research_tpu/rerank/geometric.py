@@ -1,0 +1,298 @@
+"""Local-feature geometric verification re-ranking (the SAHA/AdaLAM path).
+
+TPU-native counterpart of the reference's local-feature re-rankers
+(``/root/reference/src/utils/Reranking.py``): ``sift_online`` (SAHA, :37-116,
+precomputed SIFT + AdaLAM filtering), ``ransac_sift`` (:638-723, on-the-fly
+SIFT + AdaLAM), and the vendored AdaLAM package (``src/utils/adalam/``).
+
+Decomposition:
+- SIFT keypoints/descriptors come from OpenCV on the host (as in the reference;
+  the offline half mirrors the missing "SAHAoffline" script by persisting npz
+  per image);
+- matching + verification run on TPU as one jitted program per pair batch:
+  mutual-NN ratio-test matching is two matmuls, and verification is AdaLAM's
+  core idea — every match hypothesizes a similarity transform from its
+  keypoints' position/orientation/scale, and hypotheses vote over all matches —
+  expressed as a dense (M, M) residual matrix instead of the reference's
+  CUDA loops (adalam/ransac.py).
+
+The re-rank driver re-sorts the top-``b`` candidates by inlier count exactly
+like the reference's bubble-sorted ``a`` array (:47-53 — we just sort).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+MAX_KPTS = 1024  # fixed keypoint budget per image (static shapes)
+
+
+# ---------------------------------------------------------------- SIFT (host)
+
+
+@dataclass
+class LocalFeatures:
+    """Padded per-image local features: positions, scale, angle, descriptors."""
+
+    xy: np.ndarray      # (MAX_KPTS, 2) float32
+    scale: np.ndarray   # (MAX_KPTS,) float32
+    angle: np.ndarray   # (MAX_KPTS,) float32 radians
+    desc: np.ndarray    # (MAX_KPTS, 128) float32, L2-normalized rows
+    count: int
+    shape: Tuple[int, int]
+
+    def save(self, path: str):
+        np.savez(
+            path, xy=self.xy, scale=self.scale, angle=self.angle,
+            desc=self.desc, count=self.count, shape=np.asarray(self.shape),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "LocalFeatures":
+        z = np.load(path)
+        return cls(
+            xy=z["xy"], scale=z["scale"], angle=z["angle"], desc=z["desc"],
+            count=int(z["count"]), shape=tuple(int(x) for x in z["shape"]),
+        )
+
+
+def sift_extract(
+    image_path: str,
+    resize: Optional[Tuple[int, int]] = (1000, 1000),
+    max_kpts: int = MAX_KPTS,
+) -> LocalFeatures:
+    """OpenCV SIFT with fixed keypoint budget (Reranking.py:657-667 resizes to
+    1000x1000 and runs cv2 SIFT)."""
+    import cv2
+
+    img = cv2.imread(image_path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise FileNotFoundError(image_path)
+    if resize is not None:
+        img = cv2.resize(img, resize)
+    sift = cv2.SIFT_create(nfeatures=max_kpts)
+    kpts, desc = sift.detectAndCompute(img, None)
+
+    out = LocalFeatures(
+        xy=np.zeros((max_kpts, 2), np.float32),
+        scale=np.zeros((max_kpts,), np.float32),
+        angle=np.zeros((max_kpts,), np.float32),
+        desc=np.zeros((max_kpts, 128), np.float32),
+        count=0,
+        shape=img.shape[:2],
+    )
+    if not kpts:
+        return out
+    n = min(len(kpts), max_kpts)
+    out.count = n
+    out.xy[:n] = np.asarray([k.pt for k in kpts[:n]], np.float32)
+    out.scale[:n] = np.asarray([k.size for k in kpts[:n]], np.float32)
+    out.angle[:n] = np.deg2rad(
+        np.asarray([k.angle for k in kpts[:n]], np.float32)
+    )
+    d = np.asarray(desc[:n], np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+    out.desc[:n] = d
+    return out
+
+
+def sift_offline(
+    paths: Sequence[str],
+    store_dir: str,
+    resize=(1000, 1000),
+    max_kpts: int = MAX_KPTS,
+) -> List[str]:
+    """Persist SIFT features per image (the SAHA offline half the reference
+    loads from .npy files, Reranking.py:63-77)."""
+    os.makedirs(store_dir, exist_ok=True)
+    out = []
+    for p in paths:
+        name = os.path.splitext(os.path.basename(p))[0]
+        dst = os.path.join(store_dir, name + ".npz")
+        if not os.path.exists(dst):
+            sift_extract(p, resize, max_kpts).save(dst)
+        out.append(dst)
+    return out
+
+
+# ------------------------------------------------------- matching + RANSAC
+
+
+def _match_and_verify_impl(
+    xy1, sc1, an1, d1, n1,
+    xy2, sc2, an2, d2, n2,
+    ratio: float,
+    inlier_px: float,
+    min_confidence: float,
+):
+    """Jit core: mutual-NN ratio matches + 1-match similarity-hypothesis votes.
+
+    Returns the verified inlier count (scalar) — the quantity SAHA sorts by.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    K = xy1.shape[0]
+    valid1 = jnp.arange(K) < n1
+    valid2 = jnp.arange(K) < n2
+
+    sims = d1 @ d2.T  # (K, K); descriptors are L2 normalized
+    sims = jnp.where(valid1[:, None] & valid2[None, :], sims, -1.0)
+
+    # ratio test via top-2 (distance ratio on unit sphere: d^2 = 2 - 2 s)
+    top2, idx2 = jax.lax.top_k(sims, 2)
+    best2 = idx2[:, 0]
+    dist_sq = jnp.maximum(2.0 - 2.0 * top2, 1e-12)
+    ratio_ok = dist_sq[:, 0] < (ratio ** 2) * dist_sq[:, 1]
+
+    # mutual nearest neighbors
+    back = jnp.argmax(sims, axis=0)  # best row for each column
+    mutual = back[best2] == jnp.arange(K)
+
+    match_ok = ratio_ok & mutual & valid1
+    m2 = best2  # column matched to each row
+
+    # hypotheses: each match proposes a similarity transform from kp attributes
+    # (AdaLAM's seed affinities, adalam/core.py): scale ratio + angle delta +
+    # translation mapping kp1 -> kp2.
+    s_ratio = jnp.where(sc1 > 0, sc2[m2] / jnp.clip(sc1, min=1e-6), 1.0)
+    d_angle = an2[m2] - an1
+    cos, sin = jnp.cos(d_angle), jnp.sin(d_angle)
+
+    def apply_hypo(h):  # transform all kp1 under hypothesis h
+        R = jnp.stack(
+            [jnp.stack([cos[h], -sin[h]]), jnp.stack([sin[h], cos[h]])]
+        )  # (2, 2)
+        t = xy2[m2[h]] - s_ratio[h] * (R @ xy1[h])
+        pred = s_ratio[h] * (xy1 @ R.T) + t[None, :]
+        resid = jnp.linalg.norm(pred - xy2[m2], axis=1)
+        inl = (resid < inlier_px) & match_ok
+        return jnp.sum(inl)
+
+    votes = jax.vmap(apply_hypo)(jnp.arange(K))
+    votes = jnp.where(match_ok, votes, 0)
+    best = jnp.max(votes)
+    n_matches = jnp.sum(match_ok)
+    # require the consensus to be non-trivial (AdaLAM confidence-style gate)
+    return jnp.where(best >= min_confidence, best, 0).astype(jnp.int32), n_matches
+
+
+def make_verifier(ratio: float = 0.9, inlier_px: float = 15.0, min_confidence: int = 6):
+    """Jitted pair verifier: (LocalFeatures, LocalFeatures) -> inlier count."""
+    import jax
+
+    core = jax.jit(
+        partial(
+            _match_and_verify_impl,
+            ratio=ratio, inlier_px=inlier_px, min_confidence=min_confidence,
+        )
+    )
+
+    def verify(f1: LocalFeatures, f2: LocalFeatures) -> int:
+        import jax.numpy as jnp
+
+        inliers, _ = core(
+            jnp.asarray(f1.xy), jnp.asarray(f1.scale), jnp.asarray(f1.angle),
+            jnp.asarray(f1.desc), f1.count,
+            jnp.asarray(f2.xy), jnp.asarray(f2.scale), jnp.asarray(f2.angle),
+            jnp.asarray(f2.desc), f2.count,
+        )
+        return int(inliers)
+
+    return verify
+
+
+# ------------------------------------------------------------ rerank drivers
+
+
+def rerank_by_inliers(ranks: np.ndarray, counts: np.ndarray, b: int) -> np.ndarray:
+    """Stable re-sort of the top-b candidates by descending inlier count
+    (the reference's bubble sort, Reranking.py:47-53, is exactly this)."""
+    ranks = np.asarray(ranks).copy()
+    order = np.argsort(-counts, axis=1, kind="stable")
+    for qi in range(ranks.shape[0]):
+        ranks[qi, :b] = ranks[qi, order[qi]]
+    return ranks
+
+
+def sift_rerank(
+    query_paths: Sequence[str],
+    db_paths: Sequence[str],
+    ranks: np.ndarray,
+    b: int = 30,
+    store_dir: Optional[str] = None,
+    resize=(1000, 1000),
+    verifier=None,
+):
+    """SAHA-style re-rank: verify each query against its top-b candidates
+    (Reranking.py:37-116 online / :638-723 on-the-fly). ``ranks`` is row-major
+    (Q, >= b). With ``store_dir``, features are persisted/reused (offline half).
+    """
+    verify = verifier or make_verifier()
+
+    def features(path, cache):
+        if store_dir is None:
+            return sift_extract(path, resize)
+        name = os.path.splitext(os.path.basename(path))[0]
+        dst = os.path.join(store_dir, name + ".npz")
+        if not os.path.exists(dst):
+            os.makedirs(store_dir, exist_ok=True)
+            sift_extract(path, resize).save(dst)
+        return LocalFeatures.load(dst)
+
+    ranks = np.asarray(ranks)
+    Q = len(query_paths)
+    counts = np.zeros((Q, b), np.int64)
+    for qi in range(Q):
+        fq = features(query_paths[qi], store_dir)
+        for j in range(b):
+            fi = features(db_paths[int(ranks[qi, j])], store_dir)
+            counts[qi, j] = verify(fq, fi)
+    return rerank_by_inliers(ranks, counts, b)
+
+
+# ------------------------------------------------------- LoFTR-class rerank
+
+
+def loftr_rerank(
+    query_paths: Sequence[str],
+    db_paths: Sequence[str],
+    ranks: np.ndarray,
+    match_fn,
+    b: int = 60,
+    resolution: Tuple[int, int] = (640, 480),
+):
+    """Detector-free matcher re-rank (Reranking.py:126-185).
+
+    ``match_fn(img0, img1) -> MatchResult`` is a jitted pair matcher
+    (``models.loftr.make_match_fn``); candidates are re-sorted by match count
+    (confidences over threshold). Images are grayscale-resized to ``resolution``
+    (reference uses 720x480).
+    """
+    import cv2
+
+    w, h = resolution
+
+    def load(path):
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            raise FileNotFoundError(path)
+        img = cv2.resize(img, (w, h)).astype(np.float32) / 255.0
+        return img[:, :, None]
+
+    ranks = np.asarray(ranks)
+    Q = len(query_paths)
+    b = min(b, ranks.shape[1])
+    counts = np.zeros((Q, b), np.int64)
+    for qi in range(Q):
+        img_q = load(query_paths[qi])
+        for j in range(b):
+            img_c = load(db_paths[int(ranks[qi, j])])
+            res = match_fn(img_q, img_c)
+            counts[qi, j] = int(np.asarray(res.num_matches))
+    return rerank_by_inliers(ranks, counts, b)
