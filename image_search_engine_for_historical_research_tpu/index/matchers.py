@@ -200,3 +200,62 @@ MATCHERS: Dict[str, Callable] = {
     "IVFPQ": matching_IVFPQ,
     "Greedyhash": matching_Greedyhash,
 }
+
+
+def matching_PQ_Net(K, Codewords, Query, N_books, CW_idx, warmup=True):
+    """ADC matcher over externally trained codewords (nnsearch.py:905-946).
+
+    ``Codewords``: (N_words, N_books * L_word) flat layout (the reference's
+    transpose+reshape of per-book codewords); ``CW_idx``: (N, N_books) codes.
+    """
+    from ..ops.pq import PQCodebook, pq_search
+    from ..ops.softpq import codewords_from_flat
+
+    cw = codewords_from_flat(jnp.asarray(np.asarray(Codewords, np.float32)), N_books)
+    codes = jnp.asarray(np.asarray(CW_idx, np.int32))
+    q = _as_rows(Query)
+    if warmup:
+        pq_search(PQCodebook(cw), codes, q[:1], min(K, codes.shape[0]))
+    t1 = time.time()
+    _, idx = pq_search(PQCodebook(cw), codes, q, min(K, codes.shape[0]))
+    idx = np.asarray(idx, np.int64)
+    t2 = time.time()
+    return idx, (t2 - t1) / q.shape[0]
+
+
+def matching_PQ_Net_bucket(
+    K, Codewords, Query, N_books, CW_idx, Gallery_features,
+    n_buckets=10, warmup=True,
+):
+    """Coarse-bucketed ADC matcher (nnsearch.py:949-998): k-means buckets over
+    raw gallery features select candidates, ADC ranks within the bucket.
+
+    The reference scans only the query's own bucket; kept here (including its
+    weakness: fewer than K candidates in a bucket are padded with -1).
+    """
+    from ..ops.kmeans import kmeans_fit, _assign
+    from ..ops.pq import PQCodebook, pq_dist_table
+    from ..ops.softpq import codewords_from_flat
+
+    g = _as_rows(Gallery_features)
+    q = _as_rows(Query)
+    centers, labels = kmeans_fit(g, n_buckets, iters=20)
+    labels = np.asarray(labels)
+    qbucket = np.asarray(_assign(q, centers))
+
+    cw = codewords_from_flat(jnp.asarray(np.asarray(Codewords, np.float32)), N_books)
+    codes = np.asarray(CW_idx, np.int64)
+    dt = np.asarray(pq_dist_table(PQCodebook(cw), q))  # (Q, M, Ks)
+
+    t1 = time.time()
+    idx = np.full((q.shape[0], K), -1, np.int64)
+    for i in range(q.shape[0]):
+        members = np.where(labels == qbucket[i])[0]
+        d = dt[i, np.arange(N_books)[None, :], codes[members]].sum(axis=1)
+        order = np.argsort(d)[:K]
+        idx[i, : len(order)] = members[order]
+    t2 = time.time()
+    return idx, (t2 - t1) / q.shape[0]
+
+
+MATCHERS["PQ_Net"] = matching_PQ_Net
