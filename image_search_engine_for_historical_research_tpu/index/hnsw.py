@@ -67,12 +67,30 @@ class HNSWIndex:
     def n(self) -> int:
         return self.vectors.shape[0]
 
-    def search(self, queries, k: int, ef: Optional[int] = None) -> Tuple:
+    def search(
+        self, queries, k: int, ef: Optional[int] = None, use_pallas: bool = False
+    ) -> Tuple:
         q = normalize_rows(jnp.asarray(queries))
+        ef = ef or max(self.ef_default, k)
+        if use_pallas:
+            return self.search_pallas(q, k, ef)
         return hnsw_search_batch(
-            self.vectors, self.nbr0, self.nbru, self.entry, q, k,
-            ef or max(self.ef_default, k),
+            self.vectors, self.nbr0, self.nbru, self.entry, q, k, ef
         )
+
+    def search_pallas(self, queries, k: int, ef: int, interpret: bool = False):
+        """Level-0 beam search in the Pallas kernel (ops.pallas_graph):
+        per-query VMEM state + async HBM gathers — the low-latency serving
+        path. Upper-level descent stays in XLA."""
+        from ..ops.graph_search import hnsw_descend_entries
+        from ..ops.pallas_graph import pallas_beam_search
+
+        q = normalize_rows(jnp.asarray(queries))
+        starts = hnsw_descend_entries(self.vectors, self.nbru, self.entry, q)
+        scores, ids = pallas_beam_search(
+            self.vectors, self.nbr0, q, starts, ef=ef, interpret=interpret
+        )
+        return scores[:, :k], ids[:, :k]
 
     def to_arrays(self):
         return (

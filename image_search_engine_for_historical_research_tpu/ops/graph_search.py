@@ -198,3 +198,30 @@ def hnsw_search_batch_pq(
 
     ids, scores = jax.jit(run)(luts)
     return scores, ids
+
+
+def hnsw_descend_entries(
+    vectors: jnp.ndarray,
+    nbru: jnp.ndarray,
+    entry: int,
+    queries: jnp.ndarray,
+):
+    """Upper-layer greedy descent only: per-query level-0 entry points.
+
+    Feeds the Pallas level-0 beam kernel (ops.pallas_graph), which owns the
+    expensive part of the traversal.
+    """
+
+    def one(q):
+        def dist_to(ids):
+            v = vectors[jnp.clip(ids, 0)]
+            d = jnp.sum((v - q[None, :]) ** 2, axis=-1)
+            return jnp.where(ids >= 0, d, INF)
+
+        point = jnp.int32(entry)
+        pd = dist_to(jnp.asarray([entry]))[0]
+        for l in range(nbru.shape[0] - 1, -1, -1):
+            point, pd = _greedy_descent(dist_to, nbru[l], point, pd)
+        return point
+
+    return jax.jit(jax.vmap(one))(queries)

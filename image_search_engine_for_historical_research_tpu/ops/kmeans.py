@@ -1,12 +1,17 @@
-"""Batched Lloyd k-means on TPU.
+"""Batched Lloyd k-means on TPU, memory-bounded at million-row scale.
 
 The workhorse behind product quantization and IVF coarse quantizers — the
 TPU-native replacement for nanopq's per-subspace scipy k-means
 (``/root/reference/src/utils/nnsearch.py:880-885``: M=16 books, 20 iterations,
 seed 42) and the sklearn KMeans in ``matching_PQ_Net_bucket``
-(nnsearch.py:967). Assignment is one MXU matmul per iteration; centroid update
-is a segment-sum; ``lax.scan`` carries the centroids so the whole fit is a single
-compiled program. ``vmap`` over leading axes fits all PQ subspaces at once.
+(nnsearch.py:967).
+
+Memory design: the (N, k) assignment distance matrix is never materialized —
+assignment + centroid accumulation stream over row chunks inside a ``lax.scan``
+(peak extra memory O(chunk * k)), so a 1M x 2048 database with Ks=256 per
+subspace fits alongside itself in HBM. k-means++ initialization runs on a
+subsample (it is an O(k * N * d) scan otherwise). ``vmap`` over leading axes
+fits all PQ subspaces at once.
 """
 
 from __future__ import annotations
@@ -16,23 +21,34 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+INIT_SAMPLE = 65536  # kmeans++ init subsample size
 
-def _assign(x, centers):
-    """Nearest-center ids by ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2."""
+
+def _chunked(x: jnp.ndarray, chunk: int):
+    """Pad rows to a chunk multiple; returns (chunks (C, chunk, d), n_real)."""
+    N, d = x.shape
+    pad = (-N) % chunk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)], axis=0)
+    return x.reshape(-1, chunk, d), N
+
+
+def _assign_chunk(xc, centers, c2):
+    """Nearest-center ids for one chunk (chunk, d)."""
     dots = jax.lax.dot_general(
-        x, centers, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xc, centers, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    c2 = jnp.sum(centers.astype(jnp.float32) ** 2, axis=1)
     return jnp.argmin(c2[None, :] - 2.0 * dots, axis=1)
 
 
 def _kmeanspp_init(x: jnp.ndarray, k: int, key) -> jnp.ndarray:
-    """k-means++ initialization: D^2-weighted greedy center sampling.
-
-    A lax.scan of k steps, each one matvec batch against the newest center —
-    avoids the empty/merged-cluster local optima of random point init (nanopq
-    inherits those from scipy; we don't have to)."""
-    N, d = x.shape
+    """k-means++ on a subsample: D^2-weighted greedy center sampling."""
+    N = x.shape[0]
+    if N > INIT_SAMPLE:
+        key, sub = jax.random.split(key)
+        idx = jax.random.choice(sub, N, shape=(INIT_SAMPLE,), replace=False)
+        x = x[idx]
+        N = INIT_SAMPLE
     x32 = x.astype(jnp.float32)
     key, sub = jax.random.split(key)
     first = x32[jax.random.randint(sub, (), 0, N)]
@@ -51,30 +67,57 @@ def _kmeanspp_init(x: jnp.ndarray, k: int, key) -> jnp.ndarray:
     return jnp.concatenate([first[None, :], rest], axis=0)
 
 
-@partial(jax.jit, static_argnames=("k", "iters"))
-def kmeans_fit(x: jnp.ndarray, k: int, iters: int = 20, key=None):
+@partial(jax.jit, static_argnames=("k", "iters", "chunk"))
+def kmeans_fit(x: jnp.ndarray, k: int, iters: int = 20, key=None, chunk: int = 131072):
     """Lloyd k-means: returns ``(centers (k, d), assignments (N,))``.
 
-    k-means++ init (seeded, deterministic like nanopq's seed=42 contract).
-    Empty clusters keep their previous center.
+    k-means++ init (seeded, deterministic like nanopq's seed=42 contract);
+    empty clusters keep their previous center; assignment streams over row
+    chunks so peak memory is O(chunk * k).
     """
     N, d = x.shape
     key = key if key is not None else jax.random.PRNGKey(42)
     init_centers = _kmeanspp_init(x, k, key)
 
-    def step(centers, _):
-        assign = _assign(x, centers)
-        sums = jax.ops.segment_sum(x.astype(jnp.float32), assign, num_segments=k)
-        counts = jax.ops.segment_sum(
-            jnp.ones((N,), jnp.float32), assign, num_segments=k
+    chunk = min(chunk, ((N + 127) // 128) * 128)
+    xc, n_real = _chunked(x, chunk)
+    nchunks = xc.shape[0]
+    row_base = jnp.arange(nchunks) * chunk
+    valid_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (nchunks, chunk), 1)
+        + row_base[:, None]
+    ) < n_real
+
+    def lloyd(centers, _):
+        c2 = jnp.sum(centers.astype(jnp.float32) ** 2, axis=1)
+
+        def acc_chunk(carry, inp):
+            sums, counts = carry
+            xcb, vmask = inp
+            assign = _assign_chunk(xcb, centers, c2)
+            w = vmask.astype(jnp.float32)
+            sums = sums + jax.ops.segment_sum(
+                xcb.astype(jnp.float32) * w[:, None], assign, num_segments=k
+            )
+            counts = counts + jax.ops.segment_sum(w, assign, num_segments=k)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            acc_chunk,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (xc, valid_rows),
         )
         new_centers = jnp.where(
             counts[:, None] > 0, sums / jnp.clip(counts[:, None], min=1.0), centers
         )
         return new_centers, None
 
-    centers, _ = jax.lax.scan(step, init_centers, None, length=iters)
-    return centers, _assign(x, centers)
+    centers, _ = jax.lax.scan(lloyd, init_centers, None, length=iters)
+
+    # final assignment, chunked
+    c2 = jnp.sum(centers**2, axis=1)
+    assign = jax.lax.map(lambda xcb: _assign_chunk(xcb, centers, c2), xc)
+    return centers, assign.reshape(-1)[:n_real]
 
 
 def kmeans_fit_batched(x: jnp.ndarray, k: int, iters: int = 20, key=None):
@@ -87,3 +130,9 @@ def kmeans_fit_batched(x: jnp.ndarray, k: int, iters: int = 20, key=None):
     key = key if key is not None else jax.random.PRNGKey(42)
     keys = jax.random.split(key, M)
     return jax.vmap(lambda xi, ki: kmeans_fit(xi, k, iters, ki))(x, keys)
+
+
+def _assign(x, centers):
+    """Nearest-center ids (small inputs; used by matchers)."""
+    c2 = jnp.sum(centers.astype(jnp.float32) ** 2, axis=1)
+    return _assign_chunk(x, centers, c2)

@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .kmeans import kmeans_fit_batched
+from .kmeans import kmeans_fit, kmeans_fit_batched
 
 
 class PQCodebook(NamedTuple):
@@ -40,32 +40,53 @@ class PQCodebook(NamedTuple):
 def pq_train(
     vecs: jnp.ndarray, M: int = 16, Ks: int = 256, iters: int = 20, seed: int = 42
 ) -> PQCodebook:
-    """Fit all M sub-codebooks at once (nnsearch.py:880-885 semantics)."""
+    """Fit the M sub-codebooks (nnsearch.py:880-885 semantics).
+
+    Subspaces are fit sequentially over column slices (one XLA compilation,
+    O(N * ds) extra memory) rather than as one (M, N, ds) transposed copy —
+    at 1M x 2048 f32 that copy alone is 8 GB.
+    """
+    import numpy as np
+
     N, D = vecs.shape
     if D % M:
         raise ValueError(f"dim {D} not divisible by M={M}")
-    sub = vecs.reshape(N, M, D // M).transpose(1, 0, 2)  # (M, N, ds)
-    centers, _ = kmeans_fit_batched(sub, Ks, iters, jax.random.PRNGKey(seed))
-    return PQCodebook(codewords=centers)
+    ds = D // M
+    keys = jax.random.split(jax.random.PRNGKey(seed), M)
+    centers = []
+    for m in range(M):
+        sub = jax.lax.dynamic_slice_in_dim(vecs, m * ds, ds, axis=1)
+        c, _ = kmeans_fit(sub, Ks, iters, keys[m])
+        centers.append(c)
+    return PQCodebook(codewords=jnp.stack(centers))
 
 
-@jax.jit
-def pq_encode(codebook: PQCodebook, vecs: jnp.ndarray) -> jnp.ndarray:
-    """Encode rows to (N, M) nearest-codeword ids (uint8 when Ks <= 256)."""
+@partial(jax.jit, static_argnames=("chunk",))
+def pq_encode(codebook: PQCodebook, vecs: jnp.ndarray, chunk: int = 131072) -> jnp.ndarray:
+    """Encode rows to (N, M) nearest-codeword ids (uint8 when Ks <= 256).
+
+    Streams over row chunks: the (N, M, Ks) distance tensor is never
+    materialized (16 GB at 1M x 16 x 256)."""
     N, D = vecs.shape
     M, Ks, ds = codebook.codewords.shape
-    sub = vecs.reshape(N, M, ds).transpose(1, 0, 2)  # (M, N, ds)
-
-    def assign(x, c):
-        dots = jax.lax.dot_general(
-            x, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        c2 = jnp.sum(c.astype(jnp.float32) ** 2, axis=1)
-        return jnp.argmin(c2[None, :] - 2.0 * dots, axis=1)
-
-    codes = jax.vmap(assign)(sub, codebook.codewords)  # (M, N)
     dtype = jnp.uint8 if Ks <= 256 else jnp.int32
-    return codes.T.astype(dtype)  # (N, M)
+    c2 = jnp.sum(codebook.codewords.astype(jnp.float32) ** 2, axis=2)  # (M, Ks)
+
+    chunk = min(chunk, ((N + 127) // 128) * 128)
+    pad = (-N) % chunk
+    v = jnp.concatenate([vecs, jnp.zeros((pad, D), vecs.dtype)], 0) if pad else vecs
+    vc = v.reshape(-1, chunk, D)
+
+    def one(xcb):
+        sub = xcb.reshape(chunk, M, ds)
+        dots = jnp.einsum(
+            "nmd,mkd->nmk", sub, codebook.codewords,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.argmin(c2[None, :, :] - 2.0 * dots, axis=2).astype(dtype)
+
+    codes = jax.lax.map(one, vc)  # (C, chunk, M)
+    return codes.reshape(-1, M)[:N]
 
 
 @jax.jit

@@ -1,0 +1,73 @@
+"""Pallas HNSW beam-search kernel tests (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from image_search_engine_for_historical_research_tpu.index import (
+    build_flat,
+    build_hnsw,
+)
+from image_search_engine_for_historical_research_tpu.ops.graph_search import (
+    hnsw_descend_entries,
+)
+from image_search_engine_for_historical_research_tpu.ops.pallas_graph import (
+    pallas_beam_search,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2000, 64)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[rng.integers(0, 2000, 8)] + 0.01 * rng.standard_normal((8, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ix = build_hnsw(x, m=8, ef_construction=64)
+    _, exact = build_flat(x).search(q, 10)
+    return x, q, ix, np.asarray(exact)
+
+
+def recall(exact, got, k=10):
+    return np.mean([
+        len(set(exact[r][:k]) & set(np.asarray(got)[r][:k])) / k
+        for r in range(exact.shape[0])
+    ])
+
+
+def test_kernel_recall_matches_xla(setup):
+    x, q, ix, exact = setup
+    starts = hnsw_descend_entries(ix.vectors, ix.nbru, ix.entry, jnp.asarray(q))
+    s, i = pallas_beam_search(
+        ix.vectors, ix.nbr0, jnp.asarray(q), starts, ef=64, interpret=True
+    )
+    r_pal = recall(exact, i)
+    _, i_xla = ix.search(q, 10, ef=64)
+    r_xla = recall(exact, i_xla)
+    assert r_pal >= r_xla - 0.1
+    assert r_pal > 0.85
+
+    # scores must be descending and match -||q - x||^2
+    s = np.asarray(s)
+    assert np.all(np.diff(s, axis=1) <= 1e-5)
+    i0 = np.asarray(i)[0, 0]
+    d = -np.sum((q[0] - x[i0]) ** 2)
+    np.testing.assert_allclose(s[0, 0], d, rtol=1e-3, atol=1e-4)
+
+
+def test_index_pallas_path(setup):
+    x, q, ix, exact = setup
+    s, i = ix.search_pallas(jnp.asarray(q), 10, ef=64, interpret=True)
+    assert i.shape == (8, 10)
+    assert recall(exact, i) > 0.85
+
+
+def test_no_duplicate_results(setup):
+    x, q, ix, exact = setup
+    starts = hnsw_descend_entries(ix.vectors, ix.nbru, ix.entry, jnp.asarray(q))
+    _, i = pallas_beam_search(
+        ix.vectors, ix.nbr0, jnp.asarray(q), starts, ef=32, interpret=True
+    )
+    for row in np.asarray(i):
+        valid = row[row >= 0]
+        assert len(set(valid.tolist())) == len(valid)
