@@ -48,30 +48,39 @@ def _ivfpq_search(
     coarse_d = c2[None, :] - 2.0 * dots  # (Q, nlist), missing ||q||^2 const
     _, probe = jax.lax.top_k(-coarse_d, nprobe)  # (Q, nprobe)
 
-    def per_query(q, probe_q):
+    cw2 = jnp.sum(codewords.astype(jnp.float32) ** 2, axis=2)       # (M, Ks)
+
+    def per_query(inp):
+        q, probe_q = inp
         # residual LUT per probed list: (nprobe, M, Ks)
         centers_q = coarse_centers[probe_q]            # (nprobe, D)
         resid = (q[None, :] - centers_q).reshape(nprobe, M, ds)
         dots = jnp.einsum(
             "pmd,mkd->pmk", resid, codewords, preferred_element_type=jnp.float32
         )
-        cw2 = jnp.sum(codewords.astype(jnp.float32) ** 2, axis=2)   # (M, Ks)
         r2 = jnp.sum(resid.astype(jnp.float32) ** 2, axis=2)        # (nprobe, M)
         lut = r2[:, :, None] - 2.0 * dots + cw2[None, :, :]         # (nprobe, M, Ks)
 
-        codes_q = list_codes[probe_q].astype(jnp.int32)             # (nprobe, Lmax, M)
+        codes_q = list_codes[probe_q]                               # (nprobe, Lmax, M) u8
         ids_q = list_ids[probe_q]                                   # (nprobe, Lmax)
 
         def add_m(m, acc):
-            # lut[:, m, :]: (nprobe, Ks); codes_q[:, :, m]: (nprobe, Lmax)
-            return acc + jnp.take_along_axis(lut[:, m, :], codes_q[:, :, m], axis=1)
+            # lut[:, m, :]: (nprobe, Ks); codes of subspace m: (nprobe, Lmax)
+            cm = jax.lax.dynamic_index_in_dim(codes_q, m, axis=2, keepdims=False)
+            return acc + jnp.take_along_axis(
+                jax.lax.dynamic_index_in_dim(lut, m, axis=1, keepdims=False),
+                cm.astype(jnp.int32), axis=1,
+            )
 
         d = jax.lax.fori_loop(0, M, add_m, jnp.zeros((nprobe, Lmax), jnp.float32))
         s = jnp.where(ids_q >= 0, -d, -jnp.inf).reshape(-1)
         top_s, sel = jax.lax.top_k(s, k)
         return top_s, ids_q.reshape(-1)[sel]
 
-    return jax.vmap(per_query)(queries, probe)
+    # sequential over queries: the per-query probed-codes gather is
+    # nprobe * Lmax * M bytes (tens of MB); vmapping it over the whole batch
+    # would materialize gigabytes (OOM'd on hardware at 1M scale)
+    return jax.lax.map(per_query, (queries, probe))
 
 
 @register("ivfpq")
@@ -149,18 +158,22 @@ def build_ivfpq(
     nlist = min(nlist, N)
     coarse_centers, _ = kmeans_fit(sample, nlist, iters, key)
 
-    # assign the full database + residual-encode
-    dots = v @ coarse_centers.T
+    # train the residual PQ on the sample only (faiss semantics)
     c2 = jnp.sum(coarse_centers**2, axis=1)
-    assign = jnp.argmin(c2[None, :] - 2.0 * dots, axis=1)
-    residuals = v - coarse_centers[assign]
+    s_assign = jnp.argmin(c2[None, :] - 2.0 * (sample @ coarse_centers.T), axis=1)
+    cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters, seed=seed)
 
-    cb = pq_train(residuals[sample_idx], M=M, Ks=Ks, iters=iters, seed=seed)
-    codes = pq_encode(cb, residuals)  # (N, M)
-
-    # pack per-list on host (one-time build step)
-    assign_h = np.asarray(assign)
-    codes_h = np.asarray(codes)
+    # assign + residual-encode the full database in row chunks: a full
+    # (N, D) residual copy alone is 8 GB at 1M x 2048 (OOM next to the db)
+    chunk_rows = 131072
+    assign_h = np.empty((N,), np.int64)
+    codes_h = np.empty((N, M), np.uint8 if Ks <= 256 else np.int32)
+    for s in range(0, N, chunk_rows):
+        part = v[s : s + chunk_rows]
+        a = jnp.argmin(c2[None, :] - 2.0 * (part @ coarse_centers.T), axis=1)
+        r = part - coarse_centers[a]
+        assign_h[s : s + part.shape[0]] = np.asarray(a)
+        codes_h[s : s + part.shape[0]] = np.asarray(pq_encode(cb, r))
     counts = np.bincount(assign_h, minlength=nlist)
     Lmax = max(int(counts.max()), 1)
     Lmax = 1 << (Lmax - 1).bit_length()  # pad to power of two for stable shapes
