@@ -26,6 +26,8 @@ def build_parser():
     p.add_argument("--dataset", default="revisitop1m")
     p.add_argument("--checkpoint-every", type=int, default=50000)
     p.add_argument("--limit", type=int, default=0, help="cap image count (debug)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard extraction batches over all local devices")
     return p
 
 
@@ -38,7 +40,18 @@ def main(argv=None):
         paths = paths[: args.limit]
 
     model = load_network(args.network_path, args.arch)
-    fn = make_extract_fn(model.module, scales=scales)
+    if args.mesh:
+        import jax
+
+        from ..models.extract import make_sharded_extract_fn
+        from ..parallel import data_mesh
+
+        mesh = data_mesh()
+        fn = make_sharded_extract_fn(model.module, mesh, scales=scales)
+        if args.batch_size % len(jax.devices()):
+            raise SystemExit("--batch-size must divide evenly across devices")
+    else:
+        fn = make_extract_fn(model.module, scales=scales)
 
     ckpt = os.path.join(args.outputs, f"{args.dataset}_partial.npz")
     start = 0
@@ -55,6 +68,7 @@ def main(argv=None):
         vecs[s : s + len(chunk)] = extract_vectors(
             model, chunk, args.image_size, scales=scales,
             batch_size=args.batch_size, extract_fn=fn,
+            pad_batches=args.mesh,
         )
         os.makedirs(args.outputs, exist_ok=True)
         np.savez(ckpt, vecs=vecs, done=s + len(chunk))

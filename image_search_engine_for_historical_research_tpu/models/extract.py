@@ -123,6 +123,7 @@ def extract_vectors(
     msp: float = 1.0,
     batch_size: int = 16,
     extract_fn=None,
+    pad_batches: bool = False,
 ):
     """Host driver: paths -> (N, D) descriptors (imageretrievalnet.py:356-386).
 
@@ -130,6 +131,10 @@ def extract_vectors(
     into padded canvas batches with masks, and runs the jitted multiscale
     extraction per batch — the batched TPU replacement for the reference's
     bs=1 DataLoader loop. ``model`` is a ``retrieval.RetrievalModel``.
+
+    ``pad_batches`` pads partial batches up to ``batch_size`` with fully-masked
+    zero canvases (required by mesh-sharded extraction, which needs the batch
+    dimension divisible by the device count).
     """
     import numpy as np
 
@@ -140,8 +145,16 @@ def extract_vectors(
     for batch in bucket_batches(
         iter_test_images(paths, imsize=image_size, bbxs=bbxs), batch_size
     ):
-        vecs = fn(model.params, jnp.asarray(batch.images), jnp.asarray(batch.mask))
-        out[batch.indices] = np.asarray(vecs)
+        images, mask = batch.images, batch.mask
+        n_real = images.shape[0]
+        if pad_batches and n_real < batch_size:
+            pad = batch_size - n_real
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+            )
+            mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
+        vecs = fn(model.params, jnp.asarray(images), jnp.asarray(mask))
+        out[batch.indices] = np.asarray(vecs)[:n_real]
     return out
 
 
