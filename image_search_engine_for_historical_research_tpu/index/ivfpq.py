@@ -1,16 +1,21 @@
-"""IVF-PQ index: coarse quantizer + per-list residual PQ codes.
+"""IVF-PQ index: coarse quantizer + residual PQ codes in packed inverted lists.
 
 Replaces the FAISS ``IndexIVFPQ`` used for large databases
 (``/root/reference/src/utils/knn.py:43-54``: nlist=316, M books, nbits=8,
-nprobe=64, trained on an N/5 sample; auto-selected at N >= 110k,
+nprobe=64, trained on a subsample; auto-selected at N >= 110k,
 ``diffusion.py:47``). FAISS semantics kept: codes are PQ codes of the *residual*
 ``x - coarse_center(x)``; queries probe the ``nprobe`` nearest lists.
 
-TPU layout: inverted lists are sorted, padded to a common power-of-two length and
-stored as dense ``(nlist, Lmax, M)`` uint8 codes + ``(nlist, Lmax)`` ids + valid
-mask, so a query batch is: one small matmul for coarse scores, a static gather of
-probed lists, LUT gather-accumulate, masked top-k — no host round-trips, no
-dynamic shapes.
+TPU layout (second design, informed by hardware measurements): inverted lists
+are stored **flat and contiguous**, sorted by list id, with per-list offsets and
+lengths. A probe reads one contiguous ``(seg, M)`` block with ``dynamic_slice``
+(a DMA, not a scalar gather) and scores it with per-subspace **one-hot MXU
+matmuls** against the probe's residual LUT. The first design (dense
+``(nlist, Lmax, M)`` padding + take_along_axis gathers) measured 346 ms/query at
+1M x 2048 on v5e: k-means list-size skew made Lmax ~10x the mean, and TPU
+gathers run on the scalar unit. ``seg`` (scan window per probe) defaults to the
+P99 list length rounded up to a power of two — longer lists' tails are beyond
+the window (the measured skew makes this < 1% of entries).
 """
 
 from __future__ import annotations
@@ -28,58 +33,79 @@ from ..ops.pq import PQCodebook, pq_encode, pq_train
 from .base import normalize_rows, register
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe"))
+@partial(jax.jit, static_argnames=("k", "nprobe", "seg"))
 def _ivfpq_search(
     coarse_centers,  # (nlist, D)
     codewords,       # (M, Ks, ds)
-    list_codes,      # (nlist, Lmax, M) int
-    list_ids,        # (nlist, Lmax) int32, -1 padding
+    flat_codes,      # (Npad, M) uint8/int32, sorted by list
+    flat_ids,        # (Npad,) int32, -1 padding
+    offsets,         # (nlist,) int32 start of each list
+    lens,            # (nlist,) int32 true list lengths
     queries,         # (Q, D)
     k: int,
     nprobe: int,
+    seg: int,
 ):
     Q, D = queries.shape
-    nlist, Lmax, M = list_codes.shape
-    Ks, ds = codewords.shape[1], codewords.shape[2]
+    nlist = coarse_centers.shape[0]
+    M, Ks, ds = codewords.shape
+    cw2 = jnp.sum(codewords.astype(jnp.float32) ** 2, axis=2)       # (M, Ks)
 
-    # coarse scores: nearest lists by L2
+    # coarse scores -> probe lists
     dots = queries @ coarse_centers.T
     c2 = jnp.sum(coarse_centers**2, axis=1)
-    coarse_d = c2[None, :] - 2.0 * dots  # (Q, nlist), missing ||q||^2 const
-    _, probe = jax.lax.top_k(-coarse_d, nprobe)  # (Q, nprobe)
+    coarse_d = c2[None, :] - 2.0 * dots                              # (Q, nlist)
+    _, probe = jax.lax.top_k(-coarse_d, nprobe)                      # (Q, nprobe)
 
-    cw2 = jnp.sum(codewords.astype(jnp.float32) ** 2, axis=2)       # (M, Ks)
+    seg_iota = jax.lax.broadcasted_iota(jnp.int32, (seg, 1), 0)
 
     def per_query(inp):
         q, probe_q = inp
-        # residual LUT per probed list: (nprobe, M, Ks)
-        centers_q = coarse_centers[probe_q]            # (nprobe, D)
+        # residual LUTs for all probed lists: (nprobe, M, Ks)
+        centers_q = coarse_centers[probe_q]
         resid = (q[None, :] - centers_q).reshape(nprobe, M, ds)
-        dots = jnp.einsum(
-            "pmd,mkd->pmk", resid, codewords, preferred_element_type=jnp.float32
-        )
-        r2 = jnp.sum(resid.astype(jnp.float32) ** 2, axis=2)        # (nprobe, M)
-        lut = r2[:, :, None] - 2.0 * dots + cw2[None, :, :]         # (nprobe, M, Ks)
-
-        codes_q = list_codes[probe_q]                               # (nprobe, Lmax, M) u8
-        ids_q = list_ids[probe_q]                                   # (nprobe, Lmax)
-
-        def add_m(m, acc):
-            # lut[:, m, :]: (nprobe, Ks); codes of subspace m: (nprobe, Lmax)
-            cm = jax.lax.dynamic_index_in_dim(codes_q, m, axis=2, keepdims=False)
-            return acc + jnp.take_along_axis(
-                jax.lax.dynamic_index_in_dim(lut, m, axis=1, keepdims=False),
-                cm.astype(jnp.int32), axis=1,
+        lut = (
+            jnp.sum(resid.astype(jnp.float32) ** 2, axis=2)[:, :, None]
+            - 2.0 * jnp.einsum(
+                "pmd,mkd->pmk", resid, codewords,
+                preferred_element_type=jnp.float32,
             )
+            + cw2[None, :, :]
+        )
 
-        d = jax.lax.fori_loop(0, M, add_m, jnp.zeros((nprobe, Lmax), jnp.float32))
-        s = jnp.where(ids_q >= 0, -d, -jnp.inf).reshape(-1)
-        top_s, sel = jax.lax.top_k(s, k)
-        return top_s, ids_q.reshape(-1)[sel]
+        def one_probe(carry, p_idx):
+            best_s, best_i = carry
+            l = probe_q[p_idx]
+            start = offsets[l]
+            codes_seg = jax.lax.dynamic_slice(flat_codes, (start, 0), (seg, M))
+            ids_seg = jax.lax.dynamic_slice(flat_ids, (start,), (seg,))
+            lut_p = lut[p_idx]                                      # (M, Ks)
 
-    # sequential over queries: the per-query probed-codes gather is
-    # nprobe * Lmax * M bytes (tens of MB); vmapping it over the whole batch
-    # would materialize gigabytes (OOM'd on hardware at 1M scale)
+            def add_m(m, acc):
+                cm = jax.lax.dynamic_index_in_dim(codes_seg, m, 1, keepdims=False)
+                oh = jax.nn.one_hot(cm, Ks, dtype=jnp.float32)      # (seg, Ks)
+                lm = jax.lax.dynamic_index_in_dim(lut_p, m, 0, keepdims=True)
+                return acc + jax.lax.dot_general(
+                    oh, lm, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                                   # (seg, 1)
+
+            d = jax.lax.fori_loop(0, M, add_m, jnp.zeros((seg, 1), jnp.float32))
+            in_list = seg_iota < lens[l]
+            s = jnp.where(in_list & (ids_seg[:, None] >= 0), -d, -jnp.inf)[:, 0]
+
+            cand_s = jnp.concatenate([best_s, s])
+            cand_i = jnp.concatenate([best_i, ids_seg])
+            top_s, sel = jax.lax.top_k(cand_s, k)
+            return (top_s, cand_i[sel]), None
+
+        init = (
+            jnp.full((k,), -jnp.inf, jnp.float32),
+            jnp.full((k,), -1, jnp.int32),
+        )
+        (s, i), _ = jax.lax.scan(one_probe, init, jnp.arange(nprobe))
+        return s, i
+
     return jax.lax.map(per_query, (queries, probe))
 
 
@@ -88,32 +114,39 @@ def _ivfpq_search(
 class IVFPQIndex:
     coarse_centers: jnp.ndarray   # (nlist, D)
     codewords: jnp.ndarray        # (M, Ks, ds)
-    list_codes: jnp.ndarray       # (nlist, Lmax, M)
-    list_ids: jnp.ndarray         # (nlist, Lmax), -1 = padding
+    flat_codes: jnp.ndarray       # (Npad, M), sorted by list
+    flat_ids: jnp.ndarray         # (Npad,), -1 padding
+    offsets: jnp.ndarray          # (nlist,)
+    lens: jnp.ndarray             # (nlist,)
+    seg: int                      # per-probe scan window
     nprobe: int = 64
     normalized: bool = True
 
     @property
     def n(self) -> int:
-        return int((np.asarray(self.list_ids) >= 0).sum())
+        return int(np.asarray(self.lens).sum())
 
     def search(self, queries, k: int, nprobe: int = None) -> Tuple:
         q = jnp.asarray(queries)
         if self.normalized:
             q = normalize_rows(q)
+        k = min(k, self.n)
         return _ivfpq_search(
-            self.coarse_centers, self.codewords, self.list_codes, self.list_ids,
-            q, k, nprobe or self.nprobe,
+            self.coarse_centers, self.codewords, self.flat_codes, self.flat_ids,
+            self.offsets, self.lens, q, k,
+            min(nprobe or self.nprobe, self.coarse_centers.shape[0]), self.seg,
         )
 
     def to_arrays(self):
         return (
-            {"nprobe": self.nprobe, "normalized": self.normalized},
+            {"nprobe": self.nprobe, "normalized": self.normalized, "seg": self.seg},
             {
                 "coarse_centers": np.asarray(self.coarse_centers, np.float32),
                 "codewords": np.asarray(self.codewords, np.float32),
-                "list_codes": np.asarray(self.list_codes),
-                "list_ids": np.asarray(self.list_ids, np.int32),
+                "flat_codes": np.asarray(self.flat_codes),
+                "flat_ids": np.asarray(self.flat_ids, np.int32),
+                "offsets": np.asarray(self.offsets, np.int32),
+                "lens": np.asarray(self.lens, np.int32),
             },
         )
 
@@ -122,8 +155,11 @@ class IVFPQIndex:
         return cls(
             coarse_centers=jnp.asarray(arrays["coarse_centers"]),
             codewords=jnp.asarray(arrays["codewords"]),
-            list_codes=jnp.asarray(arrays["list_codes"]),
-            list_ids=jnp.asarray(arrays["list_ids"]),
+            flat_codes=jnp.asarray(arrays["flat_codes"]),
+            flat_ids=jnp.asarray(arrays["flat_ids"]),
+            offsets=jnp.asarray(arrays["offsets"]),
+            lens=jnp.asarray(arrays["lens"]),
+            seg=int(meta["seg"]),
             nprobe=int(meta["nprobe"]),
             normalized=bool(meta.get("normalized", True)),
         )
@@ -139,11 +175,13 @@ def build_ivfpq(
     seed: int = 42,
     train_fraction: float = 0.2,
     normalize: bool = True,
+    seg: int = None,
 ) -> IVFPQIndex:
-    """Train coarse + residual-PQ quantizers and pack padded inverted lists.
+    """Train coarse + residual-PQ quantizers and pack flat inverted lists.
 
     Reference ANN defaults (knn.py:44-53): nlist=316, nprobe=64, trained on a
-    random N/5 sample.
+    random sample. ``seg`` (per-probe scan window) defaults to the P99 list
+    length rounded up to a power of two.
     """
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
@@ -163,8 +201,8 @@ def build_ivfpq(
     s_assign = jnp.argmin(c2[None, :] - 2.0 * (sample @ coarse_centers.T), axis=1)
     cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters, seed=seed)
 
-    # assign + residual-encode the full database in row chunks: a full
-    # (N, D) residual copy alone is 8 GB at 1M x 2048 (OOM next to the db)
+    # assign + residual-encode the full database in row chunks (a full (N, D)
+    # residual copy alone is 8 GB at 1M x 2048 — OOM next to the db)
     chunk_rows = 131072
     assign_h = np.empty((N,), np.int64)
     codes_h = np.empty((N, M), np.uint8 if Ks <= 256 else np.int32)
@@ -174,24 +212,31 @@ def build_ivfpq(
         r = part - coarse_centers[a]
         assign_h[s : s + part.shape[0]] = np.asarray(a)
         codes_h[s : s + part.shape[0]] = np.asarray(pq_encode(cb, r))
-    counts = np.bincount(assign_h, minlength=nlist)
-    Lmax = max(int(counts.max()), 1)
-    Lmax = 1 << (Lmax - 1).bit_length()  # pad to power of two for stable shapes
-    list_codes = np.zeros((nlist, Lmax, M), codes_h.dtype)
-    list_ids = np.full((nlist, Lmax), -1, np.int32)
+
+    # pack flat sorted lists with offsets/lens
     order = np.argsort(assign_h, kind="stable")
+    counts = np.bincount(assign_h, minlength=nlist)
     offsets = np.zeros(nlist, np.int64)
     np.cumsum(counts[:-1], out=offsets[1:])
-    for l in range(nlist):
-        members = order[offsets[l] : offsets[l] + counts[l]]
-        list_codes[l, : counts[l]] = codes_h[members]
-        list_ids[l, : counts[l]] = members
+
+    if seg is None:
+        p99 = int(np.quantile(counts, 0.99)) if nlist > 1 else int(counts.max())
+        seg = 1 << max(int(np.ceil(np.log2(max(p99, 128)))), 7)
+    # tail padding so every dynamic_slice window stays in bounds
+    Npad = N + seg
+    flat_codes = np.zeros((Npad, M), codes_h.dtype)
+    flat_codes[:N] = codes_h[order]
+    flat_ids = np.full((Npad,), -1, np.int32)
+    flat_ids[:N] = order
 
     return IVFPQIndex(
         coarse_centers=coarse_centers,
         codewords=cb.codewords,
-        list_codes=jnp.asarray(list_codes),
-        list_ids=jnp.asarray(list_ids),
+        flat_codes=jnp.asarray(flat_codes),
+        flat_ids=jnp.asarray(flat_ids),
+        offsets=jnp.asarray(offsets, jnp.int32),
+        lens=jnp.asarray(counts, jnp.int32),
+        seg=int(seg),
         nprobe=min(nprobe, nlist),
         normalized=normalize,
     )
