@@ -30,7 +30,11 @@ class FlatIndex:
     def n(self) -> int:
         return self.vectors.shape[0]
 
-    def search(self, queries, k: int, chunk: int = 262144) -> Tuple:
+    def search(
+        self, queries, k: int, chunk: int = 262144, approximate: bool = False
+    ) -> Tuple:
+        """``approximate=True`` uses the TPU-fused approx_max_k (recall ~0.95)
+        — removes the top_k sort from the critical path (see ops.topk notes)."""
         q = jnp.asarray(queries)
         if self.metric == "cosine":
             q = normalize_rows(q)
@@ -39,7 +43,8 @@ class FlatIndex:
             metric = "l2"
         matmul_dtype = jnp.bfloat16 if self.storage_dtype == "bfloat16" else None
         return exact_topk(
-            q, self.vectors, k, metric=metric, chunk=chunk, matmul_dtype=matmul_dtype
+            q, self.vectors, k, metric=metric, chunk=chunk,
+            matmul_dtype=matmul_dtype, approximate=approximate,
         )
 
     # --- artifacts ---

@@ -6,6 +6,13 @@ nprobe=64, trained on a subsample; auto-selected at N >= 110k,
 ``diffusion.py:47``). FAISS semantics kept: codes are PQ codes of the *residual*
 ``x - coarse_center(x)``; queries probe the ``nprobe`` nearest lists.
 
+Regime guidance (measured, v5e, 1M x 2048): the flat bf16 exact scan runs at
+~0.1 ms/query and full-database one-hot ADC at ~0.5 ms/query, while IVF probing
+lands at ~9 ms/query with nlist=4096 — on TPU the MXU makes brute force nearly
+free and irregular access expensive, so IVF-PQ earns its keep only when the
+database outgrows single-chip HBM (>= ~10M vectors) or must stay compressed.
+The implementation is kept fully faithful for those regimes.
+
 TPU layout (second design, informed by hardware measurements): inverted lists
 are stored **flat and contiguous**, sorted by list id, with per-list offsets and
 lengths. A probe reads one contiguous ``(seg, M)`` block with ``dynamic_slice``
@@ -220,8 +227,8 @@ def build_ivfpq(
     np.cumsum(counts[:-1], out=offsets[1:])
 
     if seg is None:
-        p99 = int(np.quantile(counts, 0.99)) if nlist > 1 else int(counts.max())
-        seg = 1 << max(int(np.ceil(np.log2(max(p99, 128)))), 7)
+        p95 = int(np.quantile(counts, 0.95)) if nlist > 1 else int(counts.max())
+        seg = 1 << max(int(np.ceil(np.log2(max(p95, 128)))), 7)
     # tail padding so every dynamic_slice window stays in bounds
     Npad = N + seg
     flat_codes = np.zeros((Npad, M), codes_h.dtype)
