@@ -3,6 +3,7 @@
 from .datasets import DATASETS, configdataset, query_bbxs, read_imlist
 from .images import (
     Batch,
+    cid2filename,
     bucket_batches,
     imresize,
     imthumbnail,
@@ -11,12 +12,15 @@ from .images import (
     load_train_image,
     path_all_jpg,
     pil_loader,
+    save_rank_montage,
+    unnormalize,
 )
 from .store import feature_path, load_path_features, save_path_feature
 
 __all__ = [
     "DATASETS", "configdataset", "query_bbxs", "read_imlist",
-    "Batch", "bucket_batches", "imresize", "imthumbnail", "iter_test_images",
-    "load_test_image", "load_train_image", "path_all_jpg", "pil_loader",
+    "Batch", "bucket_batches", "cid2filename", "imresize", "imthumbnail",
+    "iter_test_images", "load_test_image", "load_train_image", "path_all_jpg",
+    "pil_loader", "save_rank_montage", "unnormalize",
     "feature_path", "load_path_features", "save_path_feature",
 ]

@@ -161,3 +161,39 @@ def path_all_jpg(directory: str, start: Optional[str] = None):
     paths.sort()
     rel = [os.path.relpath(p, start or directory) for p in paths]
     return paths, rel
+
+
+def cid2filename(cid: str, prefix: str) -> str:
+    """SfM120k CID -> 3-level hashed path (datahelpers.py:13-26)."""
+    return os.path.join(prefix, cid[-2:], cid[-4:-2], cid[-6:-4], cid)
+
+
+def unnormalize(rgb: np.ndarray) -> np.ndarray:
+    """Reverse ImageNet normalization to [0, 1] (datahelpers.py:76-86);
+    NHWC layout."""
+    out = rgb * IMAGENET_STD + IMAGENET_MEAN
+    return np.clip(out, 0.0, 1.0)
+
+
+def save_rank_montage(
+    query_path: str,
+    db_paths: Sequence[str],
+    ranks_row: np.ndarray,
+    out_path: str,
+    k: int = 10,
+    thumb: int = 128,
+):
+    """Write a horizontal query-plus-top-k contact sheet (the reference's
+    test_custom rank visualisation, test_custom.py:37-44)."""
+    from PIL import Image
+
+    tiles = [query_path] + [db_paths[int(i)] for i in ranks_row[:k]]
+    canvas = Image.new("RGB", (thumb * len(tiles), thumb), (30, 30, 30))
+    for i, p in enumerate(tiles):
+        im = pil_loader(p)
+        im.thumbnail((thumb, thumb))
+        canvas.paste(im, (i * thumb + (thumb - im.size[0]) // 2,
+                          (thumb - im.size[1]) // 2))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    canvas.save(out_path)
+    return out_path

@@ -6,6 +6,7 @@ from .pq import PQIndex, build_pq
 from .ivfpq import IVFPQIndex, build_ivfpq
 from .hnsw import HNSWIndex, HNSWPQIndex, build_hnsw, build_hnsw_pq
 from .rpforest import RPForestIndex, build_rpforest
+from .graph_build import build_hnsw_tpu
 
 __all__ = [
     "load_index", "normalize_rows", "save_index",
@@ -14,4 +15,5 @@ __all__ = [
     "IVFPQIndex", "build_ivfpq",
     "HNSWIndex", "HNSWPQIndex", "build_hnsw", "build_hnsw_pq",
     "RPForestIndex", "build_rpforest",
+    "build_hnsw_tpu",
 ]

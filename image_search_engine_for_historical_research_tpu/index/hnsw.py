@@ -62,6 +62,7 @@ class HNSWIndex:
     nbru: jnp.ndarray         # (MAX_LEVELS-1, N, m)
     entry: int
     ef_default: int = 100
+    coarse_ids: Optional[jnp.ndarray] = None  # upper-level member ids (seeds)
 
     @property
     def n(self) -> int:
@@ -75,7 +76,8 @@ class HNSWIndex:
         if use_pallas:
             return self.search_pallas(q, k, ef)
         return hnsw_search_batch(
-            self.vectors, self.nbr0, self.nbru, self.entry, q, k, ef
+            self.vectors, self.nbr0, self.nbru, self.entry, q, k, ef,
+            coarse_ids=self.coarse_ids,
         )
 
     def search_pallas(self, queries, k: int, ef: int, interpret: bool = False):
@@ -93,14 +95,14 @@ class HNSWIndex:
         return scores[:, :k], ids[:, :k]
 
     def to_arrays(self):
-        return (
-            {"entry": self.entry, "ef_default": self.ef_default},
-            {
-                "vectors": np.asarray(self.vectors, np.float32),
-                "nbr0": np.asarray(self.nbr0, np.int32),
-                "nbru": np.asarray(self.nbru, np.int32),
-            },
-        )
+        arrays = {
+            "vectors": np.asarray(self.vectors, np.float32),
+            "nbr0": np.asarray(self.nbr0, np.int32),
+            "nbru": np.asarray(self.nbru, np.int32),
+        }
+        if self.coarse_ids is not None:
+            arrays["coarse_ids"] = np.asarray(self.coarse_ids, np.int32)
+        return {"entry": self.entry, "ef_default": self.ef_default}, arrays
 
     @classmethod
     def from_arrays(cls, meta, arrays):
@@ -110,6 +112,9 @@ class HNSWIndex:
             nbru=jnp.asarray(arrays["nbru"]),
             entry=int(meta["entry"]),
             ef_default=int(meta.get("ef_default", 100)),
+            coarse_ids=(
+                jnp.asarray(arrays["coarse_ids"]) if "coarse_ids" in arrays else None
+            ),
         )
 
 
@@ -130,12 +135,14 @@ def build_hnsw(
     nbr0, nbru, levels, entry, top = _build_graph(
         np.asarray(v), m, m0, ef_construction, seed
     )
+    coarse = np.where(levels >= 1)[0].astype(np.int32)
     return HNSWIndex(
         vectors=v,
         nbr0=jnp.asarray(nbr0),
         nbru=jnp.asarray(nbru),
         entry=entry,
         ef_default=max(ef_construction, 16),
+        coarse_ids=jnp.asarray(coarse) if len(coarse) else None,
     )
 
 

@@ -55,14 +55,18 @@ def _greedy_descent(dist_to, nbrs, point, pd):
     return point, pd
 
 
-def _beam_search_l0(dist_to, nbr0, entry, entry_d, N, ef, max_steps):
-    """ef-bounded best-first search on layer 0 (nnsearch.py:321-350)."""
-    m0 = nbr0.shape[1]
+def _beam_search_l0(dist_to, nbr0, entries, entry_ds, N, ef, max_steps):
+    """ef-bounded best-first search on layer 0 (nnsearch.py:321-350).
 
-    beam_ids = jnp.full((ef,), -1, jnp.int32).at[0].set(entry)
-    beam_d = jnp.full((ef,), INF, jnp.float32).at[0].set(entry_d)
+    ``entries (S,)`` seeds the beam with several entry points — multi-seed
+    beams escape wrong-basin descents that trap single-entry HNSW."""
+    m0 = nbr0.shape[1]
+    S = entries.shape[0]
+
+    beam_ids = jnp.full((ef,), -1, jnp.int32).at[:S].set(entries)
+    beam_d = jnp.full((ef,), INF, jnp.float32).at[:S].set(entry_ds)
     expanded = jnp.zeros((ef,), bool)
-    visited = jnp.zeros((N,), bool).at[entry].set(True)
+    visited = jnp.zeros((N,), bool).at[entries].set(True)
 
     def cond(state):
         beam_ids, beam_d, expanded, visited, steps = state
@@ -110,7 +114,7 @@ def make_hnsw_search(node_dist_factory: Callable):
     L2, the ADC LUT for PQ).
     """
 
-    def search_one(ctx, nbr0, nbru, entry, k, ef, max_steps, N):
+    def search_one(ctx, nbr0, nbru, entry, k, ef, max_steps, N, seeds=None):
         dist_to = node_dist_factory(ctx)
 
         point = entry
@@ -119,7 +123,15 @@ def make_hnsw_search(node_dist_factory: Callable):
         for l in range(n_upper - 1, -1, -1):  # static unroll over upper layers
             point, pd = _greedy_descent(dist_to, nbru[l], point, pd)
 
-        beam_ids, beam_d = _beam_search_l0(dist_to, nbr0, point, pd, N, ef, max_steps)
+        if seeds is None:
+            entries = jnp.asarray([point])
+            entry_ds = jnp.asarray([pd])
+        else:
+            entries = jnp.concatenate([jnp.asarray([point]), seeds])
+            entry_ds = dist_to(entries)
+        beam_ids, beam_d = _beam_search_l0(
+            dist_to, nbr0, entries, entry_ds, N, ef, max_steps
+        )
         return beam_ids[:k], -beam_d[:k]  # scores: larger is better
 
     return search_one
@@ -134,11 +146,28 @@ def hnsw_search_batch(
     k: int,
     ef: int,
     max_steps: int = 0,
+    coarse_ids: jnp.ndarray = None,
+    n_seeds: int = 4,
 ):
-    """Raw-vector (squared-L2) batched HNSW search."""
+    """Raw-vector (squared-L2) batched HNSW search.
+
+    ``coarse_ids`` (ids of upper-level members) enables TPU-native multi-seed
+    entry: one small matmul scores the query against all coarse nodes and the
+    best ``n_seeds`` seed the beam alongside the greedy-descent entry —
+    brute-forcing the coarse level costs microseconds on the MXU and removes
+    wrong-basin misses.
+    """
     N = vectors.shape[0]
     ef = max(ef, k)
     max_steps = max_steps or 4 * ef
+
+    seeds_all = None
+    if coarse_ids is not None and coarse_ids.shape[0] > 0:
+        cvecs = vectors[coarse_ids]
+        sims = queries @ cvecs.T                       # (Q, C)
+        n_seeds = min(n_seeds, coarse_ids.shape[0])
+        _, top = jax.lax.top_k(sims, n_seeds)
+        seeds_all = coarse_ids[top]                    # (Q, n_seeds)
 
     def factory(q):
         def dist_to(ids):
@@ -150,11 +179,20 @@ def hnsw_search_batch(
 
     search_one = make_hnsw_search(factory)
 
-    @partial(jax.vmap, in_axes=(0,))
-    def run(q):
-        return search_one(q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N)
+    if seeds_all is None:
+        @partial(jax.vmap, in_axes=(0,))
+        def run(q):
+            return search_one(q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N)
 
-    ids, scores = jax.jit(run)(queries)
+        ids, scores = jax.jit(run)(queries)
+    else:
+        @partial(jax.vmap, in_axes=(0, 0))
+        def run(q, seeds):
+            return search_one(
+                q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, seeds
+            )
+
+        ids, scores = jax.jit(run)(queries, seeds_all)
     return scores, ids
 
 

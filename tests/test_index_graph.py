@@ -137,3 +137,35 @@ class TestRPForest:
         loaded = load_index(str(tmp_path / "rp"))
         s1, i1 = loaded.search(q, 5)
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+class TestTPUGraphBuild:
+    def test_fast_builder_recall(self, data):
+        from image_search_engine_for_historical_research_tpu.index import (
+            build_hnsw_tpu,
+        )
+
+        x, q, exact = data
+        ix = build_hnsw_tpu(x, m=16, k_candidates=48, batch=512)
+        _, approx = ix.search(q, 10, ef=128)
+        r = recall_at(exact, approx, 10)
+        assert r > 0.9, r
+
+    def test_graph_structure_valid(self, data):
+        from image_search_engine_for_historical_research_tpu.index import (
+            build_hnsw_tpu,
+        )
+
+        x, *_ = data
+        ix = build_hnsw_tpu(x, m=8, k_candidates=32, batch=512)
+        nbr0 = np.asarray(ix.nbr0)
+        assert nbr0.shape == (1000, 16)
+        assert nbr0.max() < 1000
+        rows = np.arange(1000)[:, None]
+        real = nbr0 >= 0
+        assert not np.any((nbr0 == rows) & real)  # no self loops
+        assert real.sum(1).min() >= 1             # connected
+        # pallas path works on the fast-built graph too
+        q = x[:4]
+        s, i = ix.search_pallas(q, 5, ef=32, interpret=True)
+        assert (np.asarray(i)[:, 0] == np.arange(4)).all()
