@@ -163,7 +163,7 @@ def hnsw_search_batch(
 
     seeds_all = None
     if coarse_ids is not None and coarse_ids.shape[0] > 0:
-        cvecs = vectors[coarse_ids]
+        cvecs = vectors[coarse_ids].astype(queries.dtype)
         sims = queries @ cvecs.T                       # (Q, C)
         n_seeds = min(n_seeds, coarse_ids.shape[0])
         _, top = jax.lax.top_k(sims, n_seeds)
@@ -171,8 +171,8 @@ def hnsw_search_batch(
 
     def factory(q):
         def dist_to(ids):
-            v = vectors[jnp.clip(ids, 0)]
-            d = jnp.sum((v - q[None, :]) ** 2, axis=-1)
+            v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
+            d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
             return jnp.where(ids >= 0, d, INF)
 
         return dist_to
@@ -252,8 +252,8 @@ def hnsw_descend_entries(
 
     def one(q):
         def dist_to(ids):
-            v = vectors[jnp.clip(ids, 0)]
-            d = jnp.sum((v - q[None, :]) ** 2, axis=-1)
+            v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
+            d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
             return jnp.where(ids >= 0, d, INF)
 
         point = jnp.int32(entry)

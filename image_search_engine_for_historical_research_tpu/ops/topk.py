@@ -93,8 +93,12 @@ def exact_topk(
         s = _scores(q, x, metric)
         return _top(s, k, approximate, recall_target)
 
-    # chunked path: per-chunk top-k then merge
-    chunk = max(128, min(chunk, ((N + 127) // 128) * 128))
+    # chunked path: per-chunk top-k then merge. Cap the chunk so a single
+    # (Q, chunk) f32 score tile stays within ~1/4 of the one-shot budget
+    # (large query batches otherwise blow HBM: Q=8192 x 262144 x 4B = 8 GB).
+    per_chunk_budget = ONESHOT_SCORE_BYTES // 4
+    chunk = min(chunk, max(per_chunk_budget // (Q * 4), 512))
+    chunk = max(128, min((chunk // 128) * 128, ((N + 127) // 128) * 128))
     db_p, n_real = _pad_rows(db, chunk)
     nchunks = db_p.shape[0] // chunk
     db_c = db_p.reshape(nchunks, chunk, D)
