@@ -111,3 +111,50 @@ class TestRerank:
         f = G.LocalFeatures.load(stored[0])
         assert f.count > 0
         assert np.isfinite(f.desc[: f.count]).all()
+
+
+class TestLoFTRRerank:
+    def test_loftr_rerank_promotes_matching_image(self, tmp_path):
+        import cv2
+        import jax
+        from image_search_engine_for_historical_research_tpu.models import loftr
+
+        rng = np.random.default_rng(5)
+        base = cv2.GaussianBlur(rng.uniform(0, 255, (120, 160)).astype(np.uint8), (0, 0), 2.0)
+        shifted = np.roll(base, 6, axis=1)
+        other = cv2.GaussianBlur(rng.uniform(0, 255, (120, 160)).astype(np.uint8), (0, 0), 2.0)
+        paths = {}
+        for name, img in [("q", base), ("same", shifted), ("diff", other)]:
+            p = str(tmp_path / f"{name}.jpg")
+            cv2.imwrite(p, img)
+            paths[name] = p
+
+        m, variables = loftr.init_matcher(
+            image_shape=(64, 96), rng=jax.random.PRNGKey(0),
+            d_model=64, d_fine=32, nhead=4, layers=1, max_matches=64,
+            conf_threshold=0.0,
+        )
+        match_fn = loftr.make_match_fn(m, variables)
+        ranks = np.array([[1, 0]])
+        out = G.loftr_rerank(
+            [paths["q"]], [paths["same"], paths["diff"]], ranks, match_fn,
+            b=2, resolution=(96, 64),
+        )
+        assert out.shape == (1, 2)
+        assert set(out[0]) == {0, 1}
+
+
+def test_rank_montage(tmp_path):
+    import cv2
+    from image_search_engine_for_historical_research_tpu.data import save_rank_montage
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(p, rng.uniform(0, 255, (50, 70)).astype(np.uint8))
+        paths.append(p)
+    out = save_rank_montage(paths[0], paths, np.array([1, 2, 3]),
+                            str(tmp_path / "viz" / "m.jpg"), k=3, thumb=32)
+    import os
+    assert os.path.exists(out)
