@@ -82,13 +82,25 @@ class HNSWIndex:
 
     def search_pallas(self, queries, k: int, ef: int, interpret: bool = False):
         """Level-0 beam search in the Pallas kernel (ops.pallas_graph):
-        per-query VMEM state + async HBM gathers — the low-latency serving
-        path. Upper-level descent stays in XLA."""
+        per-query VMEM state + async HBM gathers — the at-scale search path
+        (the XLA vmapped traversal measured unusable at 1M).
+
+        Entry points come from a brute-force matmul over the coarse
+        (upper-level) nodes when available — at 1M that is a ~60k-row scan in
+        microseconds, and it avoids the XLA greedy-descent loop entirely —
+        falling back to the graph's global entry point otherwise."""
         from ..ops.graph_search import hnsw_descend_entries
         from ..ops.pallas_graph import pallas_beam_search
 
         q = normalize_rows(jnp.asarray(queries))
-        starts = hnsw_descend_entries(self.vectors, self.nbru, self.entry, q)
+        if self.coarse_ids is not None and self.coarse_ids.shape[0] > 0:
+            cvecs = self.vectors[self.coarse_ids].astype(q.dtype)
+            import jax
+
+            _, top = jax.lax.top_k(q @ cvecs.T, 1)
+            starts = self.coarse_ids[top[:, 0]]
+        else:
+            starts = hnsw_descend_entries(self.vectors, self.nbru, self.entry, q)
         scores, ids = pallas_beam_search(
             self.vectors, self.nbr0, q, starts, ef=ef, interpret=interpret
         )
