@@ -176,7 +176,13 @@ class HNSWPQIndex:
 
     def search(self, queries, k: int, ef: Optional[int] = None) -> Tuple:
         """Returns (scores, idx) over *image ids*, expanding unique-code hits
-        in rank order until k members are collected (nnsearch.py:669-680)."""
+        in rank order until k members are collected (nnsearch.py:669-680).
+
+        The expansion is fully vectorized (one banded ``searchsorted`` instead
+        of a per-query python loop): output slot j of query q belongs to the
+        hit whose cumulative member count first exceeds j; its member is then
+        ``members[offsets[hit] + (j - slots_before_hit)]``.
+        """
         q = normalize_rows(jnp.asarray(queries))
         U = self.unique_codes.shape[0]
         k_unique = min(max(k, 1), U)
@@ -185,29 +191,37 @@ class HNSWPQIndex:
             q, k_unique, ef or max(self.ef_default, k_unique),
         )
         idx_u = np.asarray(idx_u)
-        scores_u = np.asarray(scores_u)
-        Q = idx_u.shape[0]
-        out_idx = np.zeros((Q, k), np.int32)
-        out_scores = np.full((Q, k), -np.inf, np.float32)
+        scores_u = np.asarray(scores_u, np.float32)
+        Q, ku = idx_u.shape
         offs, members = self.group_offsets, self.group_members
-        for qi in range(Q):
-            fill = 0
-            for r in range(k_unique):
-                u = idx_u[qi, r]
-                if u < 0:
-                    continue
-                lo, hi = offs[u], offs[u + 1]
-                take = min(hi - lo, k - fill)
-                out_idx[qi, fill : fill + take] = members[lo : lo + take]
-                out_scores[qi, fill : fill + take] = scores_u[qi, r]
-                fill += take
-                if fill >= k:
-                    break
-            if fill < k:  # backfill like nnsearch.py:676-678
-                missing = np.setdiff1d(
-                    np.arange(self.n), out_idx[qi, :fill], assume_unique=False
-                )[: k - fill]
-                out_idx[qi, fill : fill + len(missing)] = missing
+
+        safe_u = np.clip(idx_u, 0, U - 1)
+        cnt = np.where(idx_u >= 0, offs[safe_u + 1] - offs[safe_u], 0)  # (Q, ku)
+        cum = np.cumsum(cnt, axis=1)
+        total = cum[:, -1]
+        before = cum - cnt  # member slots filled before each hit
+
+        band = np.int64(self.n + 1)  # cum <= n < band: rows occupy disjoint bands
+        rows = band * np.arange(Q, dtype=np.int64)[:, None]
+        flat_cum = (cum + rows).ravel()
+        j = np.arange(k, dtype=np.int64)[None, :]
+        r = np.searchsorted(flat_cum, (j + rows).ravel(), side="right").reshape(
+            Q, k
+        ) - ku * np.arange(Q, dtype=np.int64)[:, None]
+        valid = j < np.minimum(total, k)[:, None]
+        r = np.minimum(r, ku - 1)
+
+        qi = np.arange(Q)[:, None]
+        pos = offs[safe_u[qi, r]] + (j - before[qi, r])
+        out_idx = np.where(valid, members[np.minimum(pos, self.n - 1)], 0).astype(
+            np.int32
+        )
+        out_scores = np.where(valid, scores_u[qi, r], -np.inf).astype(np.float32)
+
+        for row in np.nonzero(total < k)[0]:  # rare: backfill (nnsearch.py:676-678)
+            fill = int(total[row])
+            missing = np.setdiff1d(np.arange(self.n), out_idx[row, :fill])[: k - fill]
+            out_idx[row, fill : fill + len(missing)] = missing
         return jnp.asarray(out_scores), jnp.asarray(out_idx)
 
     def to_arrays(self):

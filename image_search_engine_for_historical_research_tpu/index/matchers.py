@@ -231,8 +231,14 @@ def matching_PQ_Net_bucket(
     raw gallery features select candidates, ADC ranks within the bucket.
 
     The reference scans only the query's own bucket; kept here (including its
-    weakness: fewer than K candidates in a bucket are padded with -1).
+    weakness: fewer than K candidates in a bucket are padded with -1). The scan
+    is one batched device program over bucket-major contiguous windows instead
+    of the reference's per-query member loop: codes are reordered by bucket so
+    each query reads a contiguous padded slice (the IVF-list layout of
+    ``index.ivfpq``), and the ADC lookup + ranking run under jit.
     """
+    import jax
+
     from ..ops.kmeans import kmeans_fit, _assign
     from ..ops.pq import PQCodebook, pq_dist_table
     from ..ops.softpq import codewords_from_flat
@@ -244,16 +250,38 @@ def matching_PQ_Net_bucket(
     qbucket = np.asarray(_assign(q, centers))
 
     cw = codewords_from_flat(jnp.asarray(np.asarray(Codewords, np.float32)), N_books)
-    codes = np.asarray(CW_idx, np.int64)
-    dt = np.asarray(pq_dist_table(PQCodebook(cw), q))  # (Q, M, Ks)
+    codes = np.asarray(CW_idx, np.int32)
+    dt = pq_dist_table(PQCodebook(cw), q)  # (Q, M, Ks) on device
+
+    # bucket-major layout: each bucket's codes are one contiguous slice
+    order = np.argsort(labels, kind="stable")
+    counts = np.bincount(labels, minlength=n_buckets)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    maxlen = int(counts.max())
+    sorted_codes = np.zeros((starts[-1] + counts[-1] + maxlen, N_books), np.int32)
+    sorted_codes[: codes.shape[0]] = codes[order]
+
+    k_eff = min(K, maxlen)
+
+    @jax.jit
+    def bucket_scan(dt_dev, codes_dev, start, length):
+        win = start[:, None] + jnp.arange(maxlen)[None, :]          # (Q, maxlen)
+        cand = codes_dev[win]                                       # (Q, maxlen, M)
+        d = jnp.take_along_axis(
+            dt_dev, jnp.transpose(cand, (0, 2, 1)), axis=2
+        ).sum(axis=1)                                               # (Q, maxlen)
+        s = jnp.where(jnp.arange(maxlen)[None, :] < length[:, None], -d, -jnp.inf)
+        top_s, sel = jax.lax.top_k(s, k_eff)
+        return top_s, win[jnp.arange(s.shape[0])[:, None], sel]
 
     t1 = time.time()
+    top_s, pos = bucket_scan(
+        dt, jnp.asarray(sorted_codes),
+        jnp.asarray(starts[qbucket]), jnp.asarray(counts[qbucket]),
+    )
+    top_s, pos = np.asarray(top_s), np.asarray(pos)
     idx = np.full((q.shape[0], K), -1, np.int64)
-    for i in range(q.shape[0]):
-        members = np.where(labels == qbucket[i])[0]
-        d = dt[i, np.arange(N_books)[None, :], codes[members]].sum(axis=1)
-        order = np.argsort(d)[:K]
-        idx[i, : len(order)] = members[order]
+    idx[:, :k_eff] = np.where(np.isfinite(top_s), order[np.minimum(pos, len(order) - 1)], -1)
     t2 = time.time()
     return idx, (t2 - t1) / q.shape[0]
 

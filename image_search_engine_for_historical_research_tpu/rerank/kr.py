@@ -84,8 +84,31 @@ def kr_rerank_scores(
     return final[:, nq:]                                # (Q, N)
 
 
-def kr_rerank(qvecs, vecs, k1: int = 20, k2: int = 6, lambda_value: float = 0.3):
-    """Ranks (Q, N) ascending by the re-ranked distance (Reranking.py:616-624)."""
+def kr_rerank(
+    qvecs,
+    vecs,
+    k1: int = 20,
+    k2: int = 6,
+    lambda_value: float = 0.3,
+    max_bytes: int = 8 << 30,
+):
+    """Ranks (Q, N) ascending by the re-ranked distance (Reranking.py:616-624).
+
+    Raises before allocating when the O(n^2) working set would exceed
+    ``max_bytes``: the algorithm holds ~6 (n, n) buffers live (distance matrix,
+    reciprocal masks, V and its expansion), ~24 bytes/entry peak. An OOM on the
+    16 GB chip wedges the worker for minutes (CLAUDE.md), so fail fast instead.
+    """
+    n = int(qvecs.shape[0]) + int(vecs.shape[0])
+    est = 24 * n * n
+    if est > max_bytes:
+        raise ValueError(
+            f"kr_rerank needs ~{est / 2**30:.1f} GiB for n={n} (queries+gallery); "
+            f"budget is {max_bytes / 2**30:.1f} GiB. k-reciprocal re-ranking is "
+            "inherently O(n^2) (same envelope as the reference, Reranking.py:513) "
+            "— restrict the gallery (e.g. re-rank only top candidates) or raise "
+            "max_bytes explicitly if the device really has the memory."
+        )
     final = kr_rerank_scores(
         l2n(jnp.asarray(qvecs)), l2n(jnp.asarray(vecs)), k1=k1, k2=k2,
         lambda_value=lambda_value,

@@ -169,3 +169,67 @@ class TestTPUGraphBuild:
         q = x[:4]
         s, i = ix.search_pallas(q, 5, ef=32, interpret=True)
         assert (np.asarray(i)[:, 0] == np.arange(4)).all()
+
+
+class TestGroupExpansion:
+    """The vectorized member expansion must match a straight per-query loop."""
+
+    def _loop_oracle(self, ix, idx_u, scores_u, k):
+        offs, members = ix.group_offsets, ix.group_members
+        Q, ku = idx_u.shape
+        out_idx = np.zeros((Q, k), np.int32)
+        out_scores = np.full((Q, k), -np.inf, np.float32)
+        for qi in range(Q):
+            fill = 0
+            for r in range(ku):
+                u = idx_u[qi, r]
+                if u < 0:
+                    continue
+                lo, hi = offs[u], offs[u + 1]
+                take = min(hi - lo, k - fill)
+                out_idx[qi, fill : fill + take] = members[lo : lo + take]
+                out_scores[qi, fill : fill + take] = scores_u[qi, r]
+                fill += take
+                if fill >= k:
+                    break
+            if fill < k:
+                missing = np.setdiff1d(np.arange(ix.n), out_idx[qi, :fill])[: k - fill]
+                out_idx[qi, fill : fill + len(missing)] = missing
+        return out_scores, out_idx
+
+    def test_matches_loop_with_duplicates_and_backfill(self, monkeypatch):
+        # quantize hard so many vectors share a code -> multi-member groups
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((300, 16)).astype(np.float32)
+        x = np.repeat(x[:100], 3, axis=0)  # force duplicate rows
+        ix = build_hnsw_pq(x, M=4, Ks=8, m=4, ef_construction=16)
+        q = rng.standard_normal((7, 16)).astype(np.float32)
+
+        import image_search_engine_for_historical_research_tpu.index.hnsw as H
+
+        captured = {}
+        real = H.hnsw_search_batch_pq
+
+        def spy(*a, **kw):
+            s, i = real(*a, **kw)
+            captured["s"], captured["i"] = np.asarray(s), np.asarray(i)
+            return s, i
+
+        monkeypatch.setattr(H, "hnsw_search_batch_pq", spy)
+        # k close to n so at least some rows need the backfill path
+        k = ix.n - 2
+        scores, idx = ix.search(q, k)
+        oracle_s, oracle_i = self._loop_oracle(ix, captured["i"], captured["s"], k)
+        np.testing.assert_array_equal(np.asarray(idx), oracle_i)
+        np.testing.assert_allclose(np.asarray(scores), oracle_s)
+
+    def test_small_k(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((200, 8)).astype(np.float32)
+        ix = build_hnsw_pq(x, M=2, Ks=4, m=4, ef_construction=16)
+        q = rng.standard_normal((5, 8)).astype(np.float32)
+        scores, idx = ix.search(q, 3)
+        idx = np.asarray(idx)
+        assert idx.shape == (5, 3)
+        for row in idx:
+            assert len(set(row.tolist())) == 3

@@ -132,3 +132,18 @@ class TestKR:
         p1 = precision_at(ranks1, labels, np.arange(8), k=10)
         assert ranks1.shape == ranks0.shape
         assert p1 >= p0 - 0.05, (p0, p1)
+
+
+def test_kr_rerank_oom_guard():
+    """120k-gallery kr must refuse before allocating (16 GB chip would wedge)."""
+    import numpy as np
+    import pytest
+
+    from image_search_engine_for_historical_research_tpu.rerank.kr import kr_rerank
+
+    q = np.zeros((5, 8), np.float32)
+    g = np.lib.stride_tricks.as_strided(  # 120k logical rows, no real memory
+        np.zeros((1, 8), np.float32), shape=(120_000, 8), strides=(0, 4)
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        kr_rerank(q, g)
