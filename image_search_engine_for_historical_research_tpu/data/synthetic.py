@@ -112,3 +112,62 @@ def make_revisited_dataset(
     with open(os.path.join(root, dataset, f"gnd_{dataset}.pkl"), "wb") as f:
         pickle.dump(cfg, f)
     return cfg
+
+
+def make_sfm_db_dataset(
+    root: str,
+    n_clusters: int = 4,
+    per_cluster: int = 5,
+    size: Tuple[int, int] = (64, 64),
+    seed: int = 0,
+    name: str = "retrieval-SfM-tiny",
+):
+    """Write an SfM120k-format training db: hashed image dirs + db pickle.
+
+    Layout mirrors the reference's training data (traindataset.py:47-63):
+    ``<root>/<name>/ims/<hash dirs>/<cid>`` images and ``<root>/<name>/<name>.pkl``
+    holding ``{"train": {...}, "val": {...}}`` with cids/cluster/qidxs/pidxs.
+    Returns the pickle path.
+    """
+    from PIL import Image
+
+    from .images import cid2filename
+
+    rng = np.random.default_rng(seed)
+    colors = rng.integers(30, 225, (n_clusters, 3))
+    db_root = os.path.join(root, name)
+    ims_root = os.path.join(db_root, "ims")
+
+    def one_split(tag, clusters_range):
+        cids, cluster, qidxs, pidxs = [], [], [], []
+        for c in clusters_range:
+            members = []
+            for i in range(per_cluster):
+                # 16-hex-char cid like the real SfM120k ids
+                cid = f"{tag}{c:02d}{i:02d}".ljust(16, "a")
+                path = cid2filename(cid, ims_root)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                Image.fromarray(_class_image(rng, colors[c], size)).save(
+                    path, format="JPEG", quality=90
+                )
+                members.append(len(cids))
+                cids.append(cid)
+                cluster.append(c)
+            for i in range(len(members) - 1):  # consecutive pairs as q/p
+                qidxs.append(members[i])
+                pidxs.append(members[i + 1])
+        return {
+            "cids": cids,
+            "cluster": cluster,
+            "qidxs": qidxs,
+            "pidxs": pidxs,
+        }
+
+    db = {
+        "train": one_split("t", range(n_clusters)),
+        "val": one_split("v", range(n_clusters)),
+    }
+    pkl = os.path.join(db_root, f"{name}.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(db, f)
+    return pkl

@@ -14,6 +14,7 @@ on host over a small candidate shortlist.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -121,6 +122,63 @@ def tuples_from_folders(db_paths: Sequence[str]) -> TuplesDataset:
         cluster=cluster,
         qpool=np.asarray(qpool),
         ppool=np.asarray(ppool),
+    )
+
+
+def tuples_from_db_pickle(
+    db_path: str,
+    mode: str = "train",
+    ims_root: Optional[str] = None,
+    name: Optional[str] = None,
+    qsize: int = 2000,
+    poolsize: int = 20000,
+    nnum: int = 5,
+) -> TuplesDataset:
+    """Read the reference's training db pickle (traindataset.py:47-106).
+
+    The file holds ``{"train": split, "val": split}`` where each split has
+    ``cids`` (image ids), ``cluster`` (3D-model id per image), and matched
+    ``qidxs``/``pidxs`` positive pairs. Image paths resolve per dataset family:
+
+    - ``retrieval-SfM-*``: 3-level hashed dirs via ``cid2filename``
+      (traindataset.py:63, datahelpers.py:13-26); ``ims_root`` defaults to
+      ``<db_dir>/ims``.
+    - ``gl18``/``gl*``: flat ``<ims_root>/<cid>.jpg`` (traindataset.py:78).
+
+    ``name`` selects the family; by default it is the pickle's basename
+    (e.g. ``retrieval-SfM-120k.pkl``).
+    """
+    import pickle
+
+    from ..data.images import cid2filename
+
+    if mode not in ("train", "val"):
+        raise ValueError(f"mode must be 'train' or 'val', got {mode!r}")
+    with open(db_path, "rb") as f:
+        db = pickle.load(f)[mode]
+
+    name = name or os.path.splitext(os.path.basename(db_path))[0]
+    if ims_root is None:
+        ims_root = os.path.join(os.path.dirname(os.path.abspath(db_path)), "ims")
+    cids = db["cids"]
+    if name.startswith("retrieval-SfM") or name.startswith("retrieval-sfm"):
+        images = [cid2filename(c, ims_root) for c in cids]
+    elif name.startswith("gl"):
+        images = [os.path.join(ims_root, f"{c}.jpg") for c in cids]
+    else:
+        raise ValueError(
+            f"unknown training dataset family {name!r} "
+            "(expected retrieval-SfM-* or gl*)"
+        )
+
+    return TuplesDataset(
+        images=images,
+        cluster=np.asarray(db["cluster"]),
+        qpool=np.asarray(db["qidxs"]),
+        ppool=np.asarray(db["pidxs"]),
+        qsize=qsize,
+        poolsize=poolsize,
+        nnum=nnum,
     )
 
 

@@ -67,3 +67,64 @@ def test_trainer_epoch_and_resume(train_setup):
     p_saved = np.asarray(trainer.state.params["params"]["gem_p"])
     p_restored = np.asarray(trainer2.state.params["params"]["gem_p"])
     np.testing.assert_allclose(p_saved, p_restored)
+
+
+class TestDbPickleIngestion:
+    """SfM120k/GL18 db-pickle format (traindataset.py:47-106)."""
+
+    @pytest.fixture(scope="class")
+    def sfm_root(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("sfm")
+        pkl = synthetic.make_sfm_db_dataset(
+            str(root), n_clusters=3, per_cluster=4, size=(64, 64), seed=2
+        )
+        return root, pkl
+
+    def test_sfm_paths_and_pairs(self, sfm_root):
+        root, pkl = sfm_root
+        ds = train.tuples_from_db_pickle(pkl, mode="train")
+        # hashed 3-level layout, files actually exist
+        assert all(os.path.exists(p) for p in ds.images)
+        rel = os.path.relpath(ds.images[0], str(root))
+        assert len(rel.split(os.sep)) == 6  # <name>/ims/<h1>/<h2>/<h3>/<cid>
+        # positives share the query's cluster
+        assert (ds.cluster[ds.qpool] == ds.cluster[ds.ppool]).all()
+        # val split is distinct
+        dv = train.tuples_from_db_pickle(pkl, mode="val")
+        assert set(dv.images).isdisjoint(set(ds.images))
+
+    def test_gl18_naming(self, tmp_path):
+        import pickle as pk
+
+        db = {"train": {"cids": ["abc", "def"], "cluster": [0, 0],
+                        "qidxs": [0], "pidxs": [1]}}
+        p = tmp_path / "gl18.pkl"
+        with open(p, "wb") as f:
+            pk.dump(db, f)
+        ds = train.tuples_from_db_pickle(str(p), ims_root="/imgs")
+        assert ds.images == ["/imgs/abc.jpg", "/imgs/def.jpg"]
+
+    def test_unknown_family_raises(self, tmp_path):
+        import pickle as pk
+
+        p = tmp_path / "mystery.pkl"
+        with open(p, "wb") as f:
+            pk.dump({"train": {"cids": [], "cluster": [], "qidxs": [], "pidxs": []}}, f)
+        with pytest.raises(ValueError, match="family"):
+            train.tuples_from_db_pickle(str(p))
+
+    def test_trainer_trains_from_sfm_db(self, sfm_root):
+        """End-to-end: mine + one training epoch from the db-pickle format."""
+        root, pkl = sfm_root
+        ds = train.tuples_from_db_pickle(pkl, mode="train", qsize=6, poolsize=12, nnum=2)
+        model = models.init_network(
+            {"architecture": "resnet50"}, rng=jax.random.PRNGKey(3)
+        )
+        cfg = train.TrainConfig(
+            epochs=1, lr=1e-4, image_size=64, nnum=2, batch_tuples=2,
+            qsize=6, poolsize=12, checkpoint_dir=str(root / "run_sfm"),
+            val_fraction=0.25, exp_decay=0.0,
+        )
+        trainer = train.Trainer(model, ds, cfg)
+        hist = trainer.fit(log=None)
+        assert len(hist) == 1 and np.isfinite(hist[0].train_loss)
