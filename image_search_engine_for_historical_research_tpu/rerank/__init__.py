@@ -12,10 +12,12 @@ from .diffusion import (
     diffusion_online_scores,
     diffusion_rerank,
 )
+from .adalam import DEFAULT_CONFIG as ADALAM_DEFAULT_CONFIG, AdalamFilter
 from .kr import kr_rerank, kr_rerank_scores
 from .geometric import (
     LocalFeatures,
     loftr_rerank,
+    make_adalam_verifier,
     make_verifier,
     rerank_by_inliers,
     sift_extract,
@@ -27,7 +29,9 @@ __all__ = [
     "average_query_expansion", "database_augmentation", "feature_enhancement", "qge1",
     "DiffusionOffline", "build_diffusion_offline", "diffusion_online_scores",
     "diffusion_rerank",
+    "ADALAM_DEFAULT_CONFIG", "AdalamFilter",
     "kr_rerank", "kr_rerank_scores",
-    "LocalFeatures", "loftr_rerank", "make_verifier", "rerank_by_inliers",
+    "LocalFeatures", "loftr_rerank", "make_adalam_verifier", "make_verifier",
+    "rerank_by_inliers",
     "sift_extract", "sift_offline", "sift_rerank",
 ]

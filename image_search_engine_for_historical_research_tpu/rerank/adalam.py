@@ -1,0 +1,492 @@
+"""AdaLAM spatial verification as one batched XLA program.
+
+TPU-native counterpart of the reference's vendored AdaLAM
+(``/root/reference/src/utils/adalam/``): seed selection by local score minima
+(core.py:7-41), radius/orientation/scale-gated neighborhood assignment
+(core.py:43-113), and confidence-based batched local *affine* RANSAC with
+refitting (ransac.py:34-140). The torch version works on ragged concatenated
+neighborhoods with data-dependent ``torch.where`` indexing; here every
+neighborhood is a row of a dense ``(num_seeds, num_keypoints)`` mask and the
+128 RANSAC iterations stream through a ``lax.scan`` in fixed-shape blocks, so
+the whole filter jits to a single static-shape program per keypoint budget.
+
+Semantics kept (verified against the vendored torch implementation by
+``tests/test_adalam_oracle.py``):
+
+- seeds = mutual-NN matches whose ratio score is a local minimum within radius
+  ``R1 = sqrt(w*h / area_ratio / pi)`` and below 0.8^2;
+- neighborhoods: matches within ``search_expansion * R`` of the seed in BOTH
+  images, orientation delta within 30 deg and scale rate within 1.5x of the
+  seed's (core.py:85-102);
+- sampling: the deterministic semi-exhaustive "first k couples" schedule over
+  score-ranked members (utils.py:110-122);
+- inlier selection: residuals sorted per problem, duplicate residuals
+  down-weighted (half-precision equality runs), progressive inlier-rate
+  acceptance ``res^2 * min_confidence <= cumweight/total`` (ransac.py:33-66);
+- confidence = count / (total_weight * largest_accepted_res^2); final matches
+  require ``conf >= min_confidence`` and ``count * (1 - 1/conf) >= min_inliers``
+  (core.py:273-280).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+DEFAULT_CONFIG = {
+    "area_ratio": 100,
+    "search_expansion": 4.0,
+    "ransac_iters": 128,
+    "min_inliers": 6,
+    "min_confidence": 200.0,
+    "orientation_difference_threshold": 30.0,  # degrees; None disables
+    "scale_rate_threshold": 1.5,               # ratio; None disables
+    "detected_scale_rate_threshold": 5.0,
+    "refit": True,
+    "force_seed_mnn": True,
+}
+
+
+def _first_k_couples(iters: int) -> np.ndarray:
+    """Deterministic sampling schedule (utils.py:110-122): exhaustive pairs over
+    the best-ranked members first. Returns (iters, 2) relative member ranks."""
+    m = int(np.sqrt(2 * iters + 0.25) - 0.5)
+    residual = iters - m * (m + 1) // 2
+    blocks = [np.full(j, j) for j in range(1, m + 1)]
+    seconds = [np.arange(j) for j in range(1, m + 1)]
+    if residual:
+        blocks.append(np.full(residual, residual))
+        seconds.append(np.arange(residual))
+    first = np.concatenate(blocks) if blocks else np.zeros(0, np.int64)
+    second = np.concatenate(seconds) if seconds else np.zeros(0, np.int64)
+    return np.stack([first, second], axis=-1).astype(np.int32)  # (iters, 2)
+
+
+def _orientation_diff(o1, o2):
+    """Wrapped angular difference in degrees, range [-180, 180) (utils.py:28)."""
+    import jax.numpy as jnp
+
+    diff = o2 - o1
+    diff = jnp.where(diff < -180.0, diff + 360.0, diff)
+    diff = jnp.where(diff >= 180.0, diff - 360.0, diff)
+    return diff
+
+
+def _run_weights(sorted_sq):
+    """1/run-length weights for half-precision-equal residual runs
+    (ransac.py:44-48: duplicated keypoints must not over-count as inliers)."""
+    import jax
+    import jax.numpy as jnp
+
+    r16 = sorted_sq.astype(jnp.float16).astype(jnp.float32)
+    n = r16.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new = jnp.concatenate(
+        [
+            jnp.ones(r16.shape[:-1] + (1,), bool),
+            r16[..., 1:] != r16[..., :-1],
+        ],
+        axis=-1,
+    )
+    start = jax.lax.cummax(jnp.where(new, idx, -1), axis=r16.ndim - 1)
+    nxt = jnp.where(new, idx, n)
+    suffix_min = jnp.flip(
+        jax.lax.cummin(jnp.flip(nxt, axis=-1), axis=r16.ndim - 1), axis=-1
+    )
+    next_start = jnp.concatenate(
+        [suffix_min[..., 1:], jnp.full(r16.shape[:-1] + (1,), n, jnp.int32)],
+        axis=-1,
+    )
+    runlen = (next_start - 1) - start + 1
+    return 1.0 / runlen.astype(jnp.float32)
+
+
+def _select_inliers(res_sq, member, min_confidence):
+    """Confidence-based inlier selection on dense rows (ransac.py:33-66).
+
+    ``res_sq``/``member``: (..., n). Returns (count int, total_weight,
+    largest_accepted_sq, inlier_prefix_mask in original keypoint order).
+    """
+    import jax.numpy as jnp
+
+    key = jnp.where(member, res_sq, jnp.inf)
+    order = jnp.argsort(key, axis=-1)
+    sorted_sq = jnp.take_along_axis(key, order, axis=-1)
+    finite = jnp.isfinite(sorted_sq)
+
+    w = jnp.where(finite, _run_weights(sorted_sq), 0.0)
+    too_perfect = sorted_sq <= 1e-8
+    w = jnp.where(too_perfect, 0.0, w)
+
+    total = jnp.sum(w, axis=-1, keepdims=True)
+    rate = jnp.cumsum(w, axis=-1) / jnp.clip(total, min=1e-12)
+    good = ((sorted_sq * min_confidence <= rate) | too_perfect) & finite
+    count_f = jnp.sum(jnp.where(good, w, 0.0), axis=-1)
+    count = jnp.floor(count_f).astype(jnp.int32)
+
+    pos = jnp.clip(count - 1, min=0)[..., None]
+    largest = jnp.take_along_axis(sorted_sq, pos, axis=-1)[..., 0]
+    largest = jnp.where(count > 0, largest, 0.0)
+
+    rank = jnp.argsort(order, axis=-1)  # inverse permutation: kp -> sorted pos
+    inl = rank < count[..., None]
+    return count, total[..., 0], largest, inl
+
+
+def _fit_affine(px, py, det_floor=1e-10):
+    """Minimal 2-point affine fit: rows of ``px`` (…, 2, 2) map to ``py``
+    via ``px @ A^T = py`` (ransac.py:97-99 with the det guard of utils.py:62)."""
+    import jax.numpy as jnp
+
+    a, b = px[..., 0, 0], px[..., 0, 1]
+    c, d = px[..., 1, 0], px[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < det_floor, det_floor, det)
+    inv = (
+        jnp.stack(
+            [jnp.stack([d, -b], -1), jnp.stack([-c, a], -1)], axis=-2
+        )
+        / det[..., None, None]
+    )
+    return jnp.swapaxes(inv @ py, -1, -2)  # A such that x @ A^T = y
+
+
+def _ellipse_filter(A, det_thr):
+    """Replace affinities with out-of-range singular values by identity
+    (ransac.py:100-103, 131-133; eigenvalues of A A^T, utils.py:86-107)."""
+    import jax.numpy as jnp
+
+    am, bm = A[..., 0, 0], A[..., 0, 1]
+    cm, dm = A[..., 1, 0], A[..., 1, 1]
+    a = am**2 + bm**2
+    b = am * cm + bm * dm
+    d = cm**2 + dm**2
+    trh = (a + d) / 2
+    disc = jnp.sqrt(((a - d) / 2) ** 2 + b**2)
+    ev_hi = jnp.clip(trh + disc, min=0.0)
+    ev_lo = jnp.clip(trh - disc, min=0.0)
+    bad = (ev_lo < 1.0 / det_thr**2) | (ev_hi > det_thr**2)
+    eye = jnp.broadcast_to(jnp.eye(2, dtype=A.dtype), A.shape)
+    return jnp.where(bad[..., None, None], eye, A)
+
+
+def _adalam_impl(
+    k1, k2, fnn12, scores1, mnn, o1, o2, s1, s2, valid1, R1, R2,
+    *,
+    iters: int,
+    refit: bool,
+    use_orientation: bool,
+    use_scale: bool,
+    search_expansion: float,
+    min_inliers: int,
+    min_confidence: float,
+    orientation_thr: float,
+    scale_rate_thr: float,
+    det_thr: float,
+    block: int,
+):
+    import jax
+    import jax.numpy as jnp
+
+    n1 = k1.shape[0]
+
+    # --- seed selection (core.py:7-41): local minima of the ratio score ---
+    d1 = jnp.sum((k1[:, None, :] - k1[None, :, :]) ** 2, axis=-1)  # (n1, n1)
+    neigh = d1 < R1**2
+    better = scores1[:, None] > scores1[None, :]  # (i, j): j beats i
+    consider = neigh & better & valid1[None, :]
+    if mnn is not None:
+        consider = consider & mnn[None, :]
+        seed_mask = (~jnp.any(consider, axis=1)) & mnn
+    else:
+        seed_mask = ~jnp.any(consider, axis=1)
+    seed_mask = seed_mask & (scores1 < 0.8**2) & valid1
+
+    # static seed budget = n1 (every match can be a seed); order best-first
+    seed_key = jnp.where(seed_mask, scores1, jnp.inf)
+    seed_idx = jnp.argsort(seed_key)                       # (n1,)
+    seed_valid = jnp.take(seed_mask, seed_idx)
+    ns = n1
+
+    # --- neighborhood sets (core.py:43-113) ---
+    f_seed = jnp.take(fnn12, seed_idx)
+    dst1 = jnp.take(d1, seed_idx, axis=0)                  # (ns, n1)
+    k2m = jnp.take(k2, fnn12, axis=0)                      # (n1, 2)
+    k2s = jnp.take(k2, f_seed, axis=0)                     # (ns, 2)
+    dst2 = jnp.sum((k2s[:, None, :] - k2m[None, :, :]) ** 2, axis=-1)
+
+    se = search_expansion
+    member = (dst1 < (se * R1) ** 2) & (dst2 < (se * R2) ** 2)
+    member = member & valid1[None, :] & seed_valid[:, None]
+
+    if use_orientation:
+        relo = _orientation_diff(o1, jnp.take(o2, fnn12))
+        od = jnp.abs(
+            _orientation_diff(relo[None, :], jnp.take(relo, seed_idx)[:, None])
+        )
+        member = member & (od < orientation_thr)
+    if use_scale:
+        rels = jnp.take(s2, fnn12) / jnp.clip(s1, min=1e-12)
+        rate = jnp.take(rels, seed_idx)[:, None] / jnp.clip(rels[None, :], min=1e-12)
+        member = member & (rate < scale_rate_thr) & (rate > 1.0 / scale_rate_thr)
+
+    rdims = jnp.sum(member, axis=1)
+    seed_ok = rdims >= min_inliers
+    member = member & seed_ok[:, None]
+    rdims = jnp.where(seed_ok, rdims, 0)
+
+    # --- relative, radius-normalized coordinates (core.py:263-266) ---
+    x_rel = (k1[None, :, :] - jnp.take(k1, seed_idx, axis=0)[:, None, :]) / (R1 * se)
+    y_rel = (k2m[None, :, :] - k2s[:, None, :]) / (R2 * se)     # (ns, n1, 2)
+
+    # score-ranked member order per seed (extract_local_patterns sorts by score)
+    member_key = jnp.where(member, scores1[None, :], jnp.inf)
+    order = jnp.argsort(member_key, axis=1)                     # (ns, n1)
+
+    schedule = jnp.asarray(_first_k_couples(iters))             # (iters, 2)
+    rdim_safe = jnp.clip(rdims, min=1)
+
+    def sample_points(sched_rows):
+        """(B, 2) relative ranks -> sampled (B, ns, 2pts, 2xy) coords."""
+        B = sched_rows.shape[0]
+        rel = sched_rows[:, None, :] % rdim_safe[None, :, None]  # (B, ns, 2)
+        kp = jnp.take_along_axis(
+            jnp.broadcast_to(order[None], (B,) + order.shape), rel, axis=2
+        )  # (B, ns, 2)
+        px = jax.vmap(
+            lambda kpb: jnp.take_along_axis(x_rel, kpb[..., None], axis=1)
+        )(kp)
+        py = jax.vmap(
+            lambda kpb: jnp.take_along_axis(y_rel, kpb[..., None], axis=1)
+        )(kp)
+        return px, py  # (B, ns, 2, 2)
+
+    def residuals_for(A):
+        """A (ns, 2, 2) or (B, ns, 2, 2) -> squared residuals (…, ns, n1)."""
+        if A.ndim == 4:
+            pred = jnp.einsum("snd,bscd->bsnc", x_rel, A)
+            return jnp.sum((pred - y_rel[None]) ** 2, axis=-1)
+        pred = jnp.einsum("snd,scd->snc", x_rel, A)
+        return jnp.sum((pred - y_rel) ** 2, axis=-1)
+
+    # --- scan over iteration blocks, tracking the best iteration per seed ---
+    nblocks = (iters + block - 1) // block
+    pad_iters = nblocks * block
+    sched_p = jnp.concatenate(
+        [schedule, jnp.zeros((pad_iters - iters, 2), jnp.int32)], axis=0
+    ).reshape(nblocks, block, 2)
+    it_ids = jnp.arange(pad_iters, dtype=jnp.int32).reshape(nblocks, block)
+
+    def scan_block(carry, inp):
+        best_cnt, best_it = carry
+        sched_rows, ids = inp
+        px, py = sample_points(sched_rows)
+        A = _fit_affine(px, py)
+        if not refit:
+            A = _ellipse_filter(A, det_thr)
+        res = residuals_for(A)                          # (block, ns, n1)
+        cnt, _, _, _ = _select_inliers(res, member[None], min_confidence)
+        cnt = jnp.where((ids < iters)[:, None], cnt, -1)
+        blk_best = jnp.max(cnt, axis=0)
+        blk_arg = jnp.argmax(cnt, axis=0)               # first max in block
+        take = blk_best > best_cnt                      # strict: keep earliest
+        best_it = jnp.where(take, ids[0] + blk_arg.astype(jnp.int32), best_it)
+        best_cnt = jnp.where(take, blk_best, best_cnt)
+        return (best_cnt, best_it), None
+
+    init = (jnp.full((ns,), -1, jnp.int32), jnp.zeros((ns,), jnp.int32))
+    (best_cnt, best_it), _ = jax.lax.scan(scan_block, init, (sched_p, it_ids))
+
+    # --- recompute the best iteration per seed: full selection statistics ---
+    best_sched = jnp.take(schedule, best_it, axis=0)    # (ns, 2)
+    rel = best_sched % rdim_safe[:, None]
+    kp = jnp.take_along_axis(order, rel, axis=1)        # (ns, 2)
+    px = jnp.take_along_axis(x_rel, kp[..., None], axis=1)
+    py = jnp.take_along_axis(y_rel, kp[..., None], axis=1)
+    A = _fit_affine(px, py)
+    if not refit:
+        A = _ellipse_filter(A, det_thr)
+    res = residuals_for(A)                              # (ns, n1)
+    count, total_w, largest, inl = _select_inliers(res, member, min_confidence)
+
+    if refit:
+        # least-squares refit over the selected inliers (ransac.py:119-127)
+        Xm = jnp.where(inl[..., None], x_rel, 0.0)
+        Ym = jnp.where(inl[..., None], y_rel, 0.0)
+        XtX = jnp.einsum("snd,sne->sde", Xm, Xm)
+        YtX = jnp.einsum("snd,sne->sde", Ym, Xm)
+        a_, b_ = XtX[..., 0, 0], XtX[..., 0, 1]
+        c_, d_ = XtX[..., 1, 0], XtX[..., 1, 1]
+        det = a_ * d_ - b_ * c_
+        det = jnp.where(jnp.abs(det) < 1e-10, 1e-10, det)
+        XtX_inv = (
+            jnp.stack(
+                [jnp.stack([d_, -b_], -1), jnp.stack([-c_, a_], -1)], axis=-2
+            )
+            / det[..., None, None]
+        )
+        A = _ellipse_filter(YtX @ XtX_inv, det_thr)
+        res = residuals_for(A)
+        count, total_w, largest, inl = _select_inliers(res, member, min_confidence)
+
+    expected = total_w * largest
+    conf = jnp.where(expected > 0, count.astype(jnp.float32) / expected, 0.0)
+
+    seed_pass = (conf >= min_confidence) & (
+        count.astype(jnp.float32) * (1.0 - 1.0 / jnp.clip(conf, min=1e-12))
+        >= min_inliers
+    )
+    keep = jnp.any(inl & seed_pass[:, None], axis=0)    # (n1,)
+
+    # fallback when no seed survives (core.py:258-262): plain ratio test
+    any_seed = jnp.any(seed_ok)
+    ratio_keep = (scores1 < 0.8**2) & valid1
+    keep = jnp.where(any_seed, keep, ratio_keep)
+    return keep, count, conf, seed_idx
+
+
+class AdalamFilter:
+    """Drop-in counterpart of the vendored ``AdalamFilter`` (adalam.py:9-148).
+
+    ``filter_matches``/``match_and_filter`` return a boolean keep-mask over the
+    source keypoints (equivalent to the reference's unique (i, fnn12[i]) list)
+    plus the matched indices.
+    """
+
+    def __init__(self, custom_config: Optional[dict] = None):
+        self.config = dict(DEFAULT_CONFIG)
+        if custom_config:
+            unknown = set(custom_config) - set(self.config)
+            if unknown:
+                raise ValueError(f"unknown AdaLAM config keys: {sorted(unknown)}")
+            self.config.update(custom_config)
+        self._jitted = {}
+
+    def _core(self, n1: int):
+        import jax
+
+        if n1 not in self._jitted:
+            c = self.config
+            othr = c["orientation_difference_threshold"]
+            sthr = c["scale_rate_threshold"]
+            self._jitted[n1] = jax.jit(
+                partial(
+                    _adalam_impl,
+                    iters=int(c["ransac_iters"]),
+                    refit=bool(c["refit"]),
+                    use_orientation=othr is not None and othr < 180,
+                    use_scale=sthr is not None and sthr < 10,
+                    search_expansion=float(c["search_expansion"]),
+                    min_inliers=int(c["min_inliers"]),
+                    min_confidence=float(c["min_confidence"]),
+                    orientation_thr=float(othr if othr is not None else 180.0),
+                    scale_rate_thr=float(sthr if sthr is not None else 10.0),
+                    det_thr=float(c["detected_scale_rate_threshold"]),
+                    block=16,
+                )
+            )
+        return self._jitted[n1]
+
+    def filter_matches(
+        self,
+        k1,
+        k2,
+        fnn12,
+        scores1,
+        mnn=None,
+        im1shape: Optional[Tuple[int, int]] = None,
+        im2shape: Optional[Tuple[int, int]] = None,
+        o1=None,
+        o2=None,
+        s1=None,
+        s2=None,
+        valid1=None,
+    ):
+        """Run the filter (core.py:182-287). Returns (keep_mask (n1,) bool,
+        matches (kept_i, fnn12[kept_i]) as an (m, 2) int array)."""
+        import jax.numpy as jnp
+
+        k1 = jnp.asarray(k1, jnp.float32)
+        k2 = jnp.asarray(k2, jnp.float32)
+        fnn12 = jnp.asarray(fnn12, jnp.int32)
+        scores1 = jnp.asarray(scores1, jnp.float32)
+        n1 = k1.shape[0]
+        if valid1 is None:
+            valid1 = jnp.ones((n1,), bool)
+        else:
+            valid1 = jnp.asarray(valid1, bool)
+
+        c = self.config
+        if im1shape is None:
+            im1shape = tuple(np.asarray(jnp.max(k1, 0) - jnp.min(k1, 0)))
+        if im2shape is None:
+            im2shape = tuple(np.asarray(jnp.max(k2, 0) - jnp.min(k2, 0)))
+        R1 = float(np.sqrt(np.prod(im1shape[:2]) / c["area_ratio"] / np.pi))
+        R2 = float(np.sqrt(np.prod(im2shape[:2]) / c["area_ratio"] / np.pi))
+
+        othr = c["orientation_difference_threshold"]
+        sthr = c["scale_rate_threshold"]
+        if othr is not None and othr < 180 and (o1 is None or o2 is None):
+            raise ValueError("orientation gating enabled but o1/o2 not given")
+        if sthr is not None and sthr < 10 and (s1 is None or s2 is None):
+            raise ValueError("scale gating enabled but s1/s2 not given")
+
+        zeros1 = jnp.zeros((n1,), jnp.float32)
+        zeros2 = jnp.zeros((k2.shape[0],), jnp.float32)
+        keep, count, conf, seed_idx = self._core(n1)(
+            k1, k2, fnn12, scores1,
+            None if mnn is None else jnp.asarray(mnn, bool),
+            jnp.asarray(o1, jnp.float32) if o1 is not None else zeros1,
+            jnp.asarray(o2, jnp.float32) if o2 is not None else zeros2,
+            jnp.asarray(s1, jnp.float32) if s1 is not None else zeros1 + 1,
+            jnp.asarray(s2, jnp.float32) if s2 is not None else zeros2 + 1,
+            valid1, R1, R2,
+        )
+        keep_np = np.asarray(keep)
+        kept = np.nonzero(keep_np)[0]
+        matches = np.stack([kept, np.asarray(fnn12)[kept]], axis=1)
+        return keep_np, matches
+
+    def match_and_filter(
+        self, k1, k2, d1, d2,
+        im1shape=None, im2shape=None, o1=None, o2=None, s1=None, s2=None,
+        valid1=None, valid2=None,
+    ):
+        """NN matching + ratio scores + MNN mask + filtering (adalam.py:150-148).
+
+        ``d1``/``d2`` are raw descriptors; distances are squared L2 and scores
+        the squared Lowe ratio, exactly like the reference driver.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        d1 = jnp.asarray(d1, jnp.float32)
+        d2 = jnp.asarray(d2, jnp.float32)
+        n1, n2 = d1.shape[0], d2.shape[0]
+        if valid1 is None:
+            valid1 = jnp.ones((n1,), bool)
+        if valid2 is None:
+            valid2 = jnp.ones((n2,), bool)
+
+        dist = (
+            jnp.sum(d1**2, 1)[:, None]
+            + jnp.sum(d2**2, 1)[None, :]
+            - 2.0 * d1 @ d2.T
+        )
+        dist = jnp.where(valid2[None, :], dist, jnp.inf)
+        dd, nn = jax.lax.top_k(-dist, 2)
+        dd = -dd
+        fnn12 = nn[:, 0]
+        scores = dd[:, 0] / jnp.clip(dd[:, 1], min=1e-3)
+        if self.config["force_seed_mnn"]:
+            back = jnp.argmin(jnp.where(valid1[:, None], dist, jnp.inf), axis=0)
+            mnn = jnp.take(back, fnn12) == jnp.arange(n1)
+        else:
+            mnn = None
+        scores = jnp.where(valid1, scores, jnp.inf)
+        return self.filter_matches(
+            k1, k2, fnn12, scores, mnn, im1shape, im2shape,
+            o1, o2, s1, s2, valid1=valid1,
+        )

@@ -207,6 +207,36 @@ def make_verifier(ratio: float = 0.9, inlier_px: float = 15.0, min_confidence: i
     return verify
 
 
+def make_adalam_verifier(custom_config: Optional[dict] = None):
+    """Pair verifier running the full AdaLAM filter (``rerank.adalam``).
+
+    This is the faithful counterpart of the reference's verification
+    (``src/utils/adalam/adalam.py:91-148``): NN matching + ratio scores + MNN,
+    then seed-based local affine RANSAC; the returned count is the number of
+    surviving matches (what SAHA sorts candidates by). One jitted program per
+    keypoint budget; all pairs reuse it.
+    """
+    from .adalam import AdalamFilter
+
+    filt = AdalamFilter(custom_config)
+
+    def verify(f1: LocalFeatures, f2: LocalFeatures) -> int:
+        if f1.count < 2 or f2.count < 2:
+            return 0
+        K = f1.xy.shape[0]
+        keep, _ = filt.match_and_filter(
+            f1.xy, f2.xy, f1.desc, f2.desc,
+            im1shape=f1.shape, im2shape=f2.shape,
+            o1=np.degrees(f1.angle), o2=np.degrees(f2.angle),
+            s1=f1.scale, s2=f2.scale,
+            valid1=np.arange(K) < f1.count,
+            valid2=np.arange(f2.xy.shape[0]) < f2.count,
+        )
+        return int(keep.sum())
+
+    return verify
+
+
 # ------------------------------------------------------------ rerank drivers
 
 
@@ -232,8 +262,12 @@ def sift_rerank(
     """SAHA-style re-rank: verify each query against its top-b candidates
     (Reranking.py:37-116 online / :638-723 on-the-fly). ``ranks`` is row-major
     (Q, >= b). With ``store_dir``, features are persisted/reused (offline half).
+
+    The default verifier is the full AdaLAM filter (``make_adalam_verifier``,
+    oracle-tested against the reference's vendored torch AdaLAM); pass
+    ``make_verifier()`` for the cheaper single-similarity-vote screen.
     """
-    verify = verifier or make_verifier()
+    verify = verifier or make_adalam_verifier()
 
     def features(path, cache):
         if store_dir is None:
