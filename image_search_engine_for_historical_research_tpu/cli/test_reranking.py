@@ -29,6 +29,9 @@ def build_parser():
     p.add_argument("--methods", default="qge",
                    help="comma list: qge,aqe,dba,kr,diffusion,sift,loftr")
     p.add_argument("--sift-store", default=None)
+    p.add_argument("--loftr-ckpt", default=None,
+                   help="released LoFTR ckpt (outdoor_ds.ckpt layout); random "
+                        "weights with a warning if omitted")
     return p
 
 
@@ -83,6 +86,24 @@ def main(argv=None):
             dpaths = [cfg["im_fname"](cfg, i) for i in range(cfg["n"])]
             ranks = rerank.sift_rerank(
                 qpaths, dpaths, idx, b=min(30, K), store_dir=args.sift_store
+            )
+            res = compute_map_revisited(ranks, cfg["gnd"], args.dataset)
+        elif method == "loftr":
+            from ..models import loftr as loftr_mod
+
+            if args.loftr_ckpt:
+                variables = loftr_mod.load_loftr_checkpoint(args.loftr_ckpt)
+                m = loftr_mod.LoFTRMatcher(config=loftr_mod.LoFTRConfig())
+            else:
+                print("warning: no --loftr-ckpt; LoFTR re-rank uses random "
+                      "weights (structure-only run)")
+                m, variables = loftr_mod.init_matcher((480, 640))
+            match_fn = loftr_mod.make_match_fn(m, variables)
+            qpaths = [cfg["qim_fname"](cfg, i) for i in range(cfg["nq"])]
+            dpaths = [cfg["im_fname"](cfg, i) for i in range(cfg["n"])]
+            ranks = rerank.loftr_rerank(
+                qpaths, dpaths, idx, match_fn, b=min(60, K),
+                resolution=(640, 480),
             )
             res = compute_map_revisited(ranks, cfg["gnd"], args.dataset)
         else:

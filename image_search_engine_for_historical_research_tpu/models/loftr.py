@@ -1,163 +1,242 @@
-"""Detector-free local feature matching (LoFTR-class) in Flax.
+"""Detector-free local feature matching (LoFTR) in Flax, reference-exact.
 
 TPU-native counterpart of the reference's vendored LoFTR
-(``/root/reference/src/utils/src/loftr/``, ~1.4k LoC torch): ResNet-FPN
-backbone (backbone/resnet_fpn.py), sine positional encoding, a coarse
-transformer of alternating self/cross **linear attention** layers
-(loftr_module/linear_attention.py:14-40, transformer.py), dual-softmax coarse
-matching (utils/coarse_matching.py) and window fine matching with a soft-argmax
-(utils/fine_matching.py:9-40). Default hyperparameters follow the reference
-config (utils/cvpr_ds_config.py): d_model 256, 8 heads, 4 self/cross layer
-pairs, fine window 5, dual-softmax temperature 0.1.
+(``/root/reference/src/utils/src/loftr/``): ResNet-FPN_8_2 backbone
+(backbone/resnet_fpn.py), 2-D sine positional encoding (including the
+``temp_bug_fix=False`` variant the released outdoor checkpoint was trained
+with, utils/position_encoding.py:28-31), a coarse transformer of alternating
+self/cross **linear attention** layers (loftr_module/linear_attention.py:14-46,
+transformer.py), dual-softmax coarse matching with border removal and mutual
+maxima (utils/coarse_matching.py:108-196), window fine preprocessing with
+coarse-feature concatenation (loftr_module/fine_preprocess.py), a fine
+transformer, and soft-argmax fine matching (utils/fine_matching.py:9-75).
 
-TPU adaptations: everything is static-shape — matches are returned as fixed-size
-top-``max_matches`` arrays with a validity mask instead of boolean indexing, and
-the match count (what the re-ranker sorts by, Reranking.py:175-176) is the sum
-of confidences over threshold.
+The architecture and parameter layout mirror the torch module tree 1:1 so the
+released checkpoints convert via ``convert_loftr_state_dict`` (oracle parity
+tested in ``tests/test_loftr_oracle.py``). TPU adaptations: matches are
+returned as fixed-size top-``max_matches`` arrays with a confidence mask
+(static shapes) instead of boolean indexing, and window extraction is a
+vmapped ``dynamic_slice`` instead of ``F.unfold``.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from dataclasses import dataclass, field
+from typing import Any, Dict, Mapping, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
+
+from .resnet import FrozenBatchNorm
+
+
+@dataclass(frozen=True)
+class LoFTRConfig:
+    """Mirror of the reference ``default_cfg`` (utils/cvpr_ds_config.py)."""
+
+    initial_dim: int = 128
+    block_dims: Tuple[int, int, int] = (128, 196, 256)
+    d_coarse: int = 256
+    nhead: int = 8
+    coarse_layers: Tuple[str, ...] = ("self", "cross") * 4
+    temp_bug_fix: bool = False          # outdoor ckpt uses the buggy PE temp
+    d_fine: int = 128
+    fine_layers: Tuple[str, ...] = ("self", "cross")
+    window: int = 5
+    fine_concat_coarse: bool = True
+    thr: float = 0.2
+    border_rm: int = 2
+    temperature: float = 0.1            # dual-softmax temperature
+    max_matches: int = 256
 
 
 # ----------------------------------------------------------------- backbone
 
 
-class ConvBNRelu(nn.Module):
-    features: int
-    strides: int = 1
-
-    @nn.compact
-    def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3), strides=self.strides, use_bias=False)(x)
-        x = nn.GroupNorm(num_groups=8)(x)
-        return nn.relu(x)
-
-
 class BasicBlock(nn.Module):
+    """resnet_fpn.py:15-40: two 3x3 convs + BN, 1x1 downsample on stride 2."""
+
     features: int
     strides: int = 1
 
     @nn.compact
     def __call__(self, x):
-        y = ConvBNRelu(self.features, self.strides)(x)
-        y = nn.Conv(self.features, (3, 3), use_bias=False)(y)
-        y = nn.GroupNorm(num_groups=8)(y)
-        if x.shape[-1] != self.features or self.strides != 1:
-            x = nn.Conv(self.features, (1, 1), strides=self.strides, use_bias=False)(x)
+        y = nn.Conv(
+            self.features, (3, 3), strides=self.strides, padding=1,
+            use_bias=False, name="conv1",
+        )(x)
+        y = FrozenBatchNorm(self.features, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = FrozenBatchNorm(self.features, name="bn2")(y)
+        if self.strides != 1:
+            x = nn.Conv(
+                self.features, (1, 1), strides=self.strides,
+                use_bias=False, name="downsample_conv",
+            )(x)
+            x = FrozenBatchNorm(self.features, name="downsample_bn")(x)
         return nn.relu(x + y)
 
 
-class ResNetFPN(nn.Module):
-    """Small ResNet-FPN producing 1/8 coarse and 1/2 fine feature maps
-    (backbone/resnet_fpn.py semantics; block counts reduced for TPU tests)."""
+def _upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsample with ``align_corners=True`` (resnet_fpn.py:108,112).
 
-    dims: Tuple[int, int, int] = (64, 96, 128)
-    d_coarse: int = 256
-    d_fine: int = 128
+    ``jax.image.resize`` only implements half-pixel centers, so do the
+    separable gather-lerp directly: out[i] samples src at ``i*(in-1)/(out-1)``.
+    """
+    B, H, W, C = x.shape
+
+    def upsample_axis(z, n_in, axis):
+        n_out = 2 * n_in
+        src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        frac = (src - lo.astype(jnp.float32))
+        zl = jnp.take(z, lo, axis=axis)
+        zh = jnp.take(z, hi, axis=axis)
+        shape = [1] * z.ndim
+        shape[axis] = n_out
+        f = frac.reshape(shape)
+        return zl * (1 - f) + zh * f
+
+    x = upsample_axis(x, H, 1)
+    return upsample_axis(x, W, 2)
+
+
+class ResNetFPN82(nn.Module):
+    """ResNet+FPN at 1/8 (coarse) and 1/2 (fine) (resnet_fpn.py:43-120)."""
+
+    initial_dim: int = 128
+    block_dims: Tuple[int, int, int] = (128, 196, 256)
 
     @nn.compact
     def __call__(self, x):
-        c1 = ConvBNRelu(self.dims[0], strides=2)(x)     # 1/2
-        c1 = BasicBlock(self.dims[0])(c1)
-        c2 = BasicBlock(self.dims[1], strides=2)(c1)    # 1/4
-        c2 = BasicBlock(self.dims[1])(c2)
-        c3 = BasicBlock(self.dims[2], strides=2)(c2)    # 1/8
-        c3 = BasicBlock(self.dims[2])(c3)
+        d0, d1, d2 = self.block_dims
+        y = nn.Conv(
+            self.initial_dim, (7, 7), strides=2, padding=3,
+            use_bias=False, name="conv1",
+        )(x)
+        y = FrozenBatchNorm(self.initial_dim, name="bn1")(y)
+        x0 = nn.relu(y)
 
-        coarse = nn.Conv(self.d_coarse, (1, 1))(c3)     # 1/8
-        # FPN top-down for the fine map at 1/2
-        up3 = jax.image.resize(c3, c2.shape[:3] + (c3.shape[-1],), "bilinear")
-        f2 = ConvBNRelu(self.dims[1])(jnp.concatenate([c2, up3], axis=-1))
-        up2 = jax.image.resize(f2, c1.shape[:3] + (f2.shape[-1],), "bilinear")
-        f1 = ConvBNRelu(self.dims[0])(jnp.concatenate([c1, up2], axis=-1))
-        fine = nn.Conv(self.d_fine, (1, 1))(f1)         # 1/2
-        return coarse, fine
+        x1 = BasicBlock(d0, 1, name="layer1_0")(x0)       # 1/2
+        x1 = BasicBlock(d0, 1, name="layer1_1")(x1)
+        x2 = BasicBlock(d1, 2, name="layer2_0")(x1)       # 1/4
+        x2 = BasicBlock(d1, 1, name="layer2_1")(x2)
+        x3 = BasicBlock(d2, 2, name="layer3_0")(x2)       # 1/8
+        x3 = BasicBlock(d2, 1, name="layer3_1")(x3)
+
+        x3_out = nn.Conv(d2, (1, 1), use_bias=False, name="layer3_outconv")(x3)
+
+        x3_up = _upsample2x_align_corners(x3_out)
+        x2_out = nn.Conv(d2, (1, 1), use_bias=False, name="layer2_outconv")(x2)
+        y = x2_out + x3_up
+        y = nn.Conv(d2, (3, 3), padding=1, use_bias=False, name="layer2_outconv2_0")(y)
+        y = FrozenBatchNorm(d2, name="layer2_outconv2_1")(y)
+        y = nn.leaky_relu(y, negative_slope=0.01)
+        x2_out = nn.Conv(
+            d1, (3, 3), padding=1, use_bias=False, name="layer2_outconv2_3"
+        )(y)
+
+        x2_up = _upsample2x_align_corners(x2_out)
+        x1_out = nn.Conv(d1, (1, 1), use_bias=False, name="layer1_outconv")(x1)
+        y = x1_out + x2_up
+        y = nn.Conv(d1, (3, 3), padding=1, use_bias=False, name="layer1_outconv2_0")(y)
+        y = FrozenBatchNorm(d1, name="layer1_outconv2_1")(y)
+        y = nn.leaky_relu(y, negative_slope=0.01)
+        x1_out = nn.Conv(
+            d0, (3, 3), padding=1, use_bias=False, name="layer1_outconv2_3"
+        )(y)
+
+        return x3_out, x1_out  # coarse 1/8 (d2), fine 1/2 (d0)
 
 
-def sine_positional_encoding(H: int, W: int, d: int) -> jnp.ndarray:
-    """2-D sine PE (loftr position_encoding.py)."""
-    d_quarter = d // 4
-    y = jnp.arange(H, dtype=jnp.float32)[:, None]
-    x = jnp.arange(W, dtype=jnp.float32)[None, :]
-    div = jnp.exp(
-        jnp.arange(d_quarter, dtype=jnp.float32) * (-jnp.log(10000.0) / d_quarter)
-    )
-    pe_x = jnp.stack(
-        [jnp.sin(x[..., None] * div), jnp.cos(x[..., None] * div)], axis=-1
-    ).reshape(1, W, d_quarter * 2)
-    pe_y = jnp.stack(
-        [jnp.sin(y[..., None] * div), jnp.cos(y[..., None] * div)], axis=-1
-    ).reshape(H, 1, d_quarter * 2)
-    pe = jnp.concatenate(
-        [jnp.broadcast_to(pe_x, (H, W, d_quarter * 2)),
-         jnp.broadcast_to(pe_y, (H, W, d_quarter * 2))], axis=-1
-    )
-    return pe  # (H, W, d)
+def sine_positional_encoding(
+    H: int, W: int, d: int, temp_bug_fix: bool = False
+) -> np.ndarray:
+    """2-D sine PE (position_encoding.py:23-39), channel-interleaved
+    [sin x, cos x, sin y, cos y] with 1-based positions. ``temp_bug_fix=False``
+    reproduces the released checkpoints' buggy temperature
+    ``(-log(1e4)/d)//2`` exactly (:28-31)."""
+    pe = np.zeros((H, W, d), np.float32)
+    y_pos = np.arange(1, H + 1, dtype=np.float32)[:, None]
+    x_pos = np.arange(1, W + 1, dtype=np.float32)[None, :]
+    if temp_bug_fix:
+        div = np.exp(
+            np.arange(0, d // 2, 2, dtype=np.float32) * (-np.log(10000.0) / (d // 2))
+        )
+    else:
+        div = np.exp(
+            np.arange(0, d // 2, 2, dtype=np.float32) * (-np.log(10000.0) / d // 2)
+        )
+    pe[:, :, 0::4] = np.sin(x_pos[..., None] * div)
+    pe[:, :, 1::4] = np.cos(x_pos[..., None] * div)
+    pe[:, :, 2::4] = np.sin(y_pos[..., None] * div)
+    pe[:, :, 3::4] = np.cos(y_pos[..., None] * div)
+    return pe
 
 
 # -------------------------------------------------------------- transformer
 
 
-class LinearAttention(nn.Module):
-    """elu(.)+1 linear attention (linear_attention.py:14-40): O(N d^2)."""
+class LoFTREncoderLayer(nn.Module):
+    """transformer.py:7-59: linear attention + concat-FFN residual update."""
 
     d_model: int
     nhead: int
 
     @nn.compact
     def __call__(self, x, source):
-        B, N, _ = x.shape
-        M = source.shape[1]
+        B, L, _ = x.shape
         dh = self.d_model // self.nhead
 
-        def proj(z, name):
-            return nn.Dense(self.d_model, name=name)(z).reshape(
-                z.shape[0], z.shape[1], self.nhead, dh
-            )
+        q = nn.Dense(self.d_model, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(self.d_model, use_bias=False, name="k_proj")(source)
+        v = nn.Dense(self.d_model, use_bias=False, name="v_proj")(source)
+        q = q.reshape(B, L, self.nhead, dh)
+        k = k.reshape(B, -1, self.nhead, dh)
+        v = v.reshape(B, -1, self.nhead, dh)
 
-        q = jax.nn.elu(proj(x, "q")) + 1.0
-        k = jax.nn.elu(proj(source, "k")) + 1.0
-        v = proj(source, "v")
+        # elu+1 linear attention (linear_attention.py:14-46)
+        q = jax.nn.elu(q) + 1.0
+        k = jax.nn.elu(k) + 1.0
+        s = v.shape[1]
+        v = v / s
+        kv = jnp.einsum("bshd,bshv->bhdv", k, v)
+        z = 1.0 / (jnp.einsum("blhd,bhd->blh", q, k.sum(axis=1)) + 1e-6)
+        msg = jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z) * s
+        msg = msg.reshape(B, L, self.d_model)
 
-        kv = jnp.einsum("bmhd,bmhe->bhde", k, v)          # (B, h, dh, dh)
-        z = 1.0 / (jnp.einsum("bnhd,bhd->bnh", q, k.sum(axis=1)) + 1e-6)
-        out = jnp.einsum("bnhd,bhde,bnh->bnhe", q, kv, z)
-        out = out.reshape(B, N, self.d_model)
-
-        # merge + FFN with pre/post norms (transformer.py LoFTREncoderLayer)
-        msg = nn.Dense(self.d_model, name="merge")(out)
-        msg = nn.LayerNorm()(msg)
+        msg = nn.Dense(self.d_model, use_bias=False, name="merge")(msg)
+        msg = nn.LayerNorm(name="norm1")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(self.d_model * 2, name="ffn1")(y)
+        y = nn.Dense(self.d_model * 2, use_bias=False, name="mlp1")(y)
         y = nn.relu(y)
-        y = nn.Dense(self.d_model, name="ffn2")(y)
-        return x + nn.LayerNorm()(y)
+        y = nn.Dense(self.d_model, use_bias=False, name="mlp2")(y)
+        y = nn.LayerNorm(name="norm2")(y)
+        return x + y
 
 
-class CoarseTransformer(nn.Module):
-    """Alternating self/cross layers over both images' coarse tokens."""
+class LocalFeatureTransformer(nn.Module):
+    """transformer.py:62-103: sequential self/cross updates (feat1's cross
+    step consumes the already-updated feat0)."""
 
-    d_model: int = 256
-    nhead: int = 8
-    layers: int = 4
+    d_model: int
+    nhead: int
+    layer_names: Tuple[str, ...]
 
     @nn.compact
     def __call__(self, f0, f1):
-        for i in range(self.layers):
-            sa = LinearAttention(self.d_model, self.nhead, name=f"self{i}")
-            f0 = sa(f0, f0)
-            f1 = sa(f1, f1)
-            ca = LinearAttention(self.d_model, self.nhead, name=f"cross{i}")
-            f0n = ca(f0, f1)
-            f1n = ca(f1, f0)
-            f0, f1 = f0n, f1n
+        for i, kind in enumerate(self.layer_names):
+            layer = LoFTREncoderLayer(self.d_model, self.nhead, name=f"layer{i}")
+            if kind == "self":
+                f0 = layer(f0, f0)
+                f1 = layer(f1, f1)
+            else:
+                f0 = layer(f0, f1)
+                f1 = layer(f1, f0)
         return f0, f1
 
 
@@ -165,8 +244,8 @@ class CoarseTransformer(nn.Module):
 
 
 class MatchResult(NamedTuple):
-    kpts0: jnp.ndarray  # (max_matches, 2) image-0 coords (x, y), refined
-    kpts1: jnp.ndarray  # (max_matches, 2)
+    kpts0: jnp.ndarray  # (max_matches, 2) image-0 coords (x, y)
+    kpts1: jnp.ndarray  # (max_matches, 2) refined image-1 coords
     conf: jnp.ndarray   # (max_matches,) dual-softmax confidence (0 if invalid)
 
     @property
@@ -175,92 +254,234 @@ class MatchResult(NamedTuple):
 
 
 class LoFTRMatcher(nn.Module):
-    """Coarse-to-fine dense matcher; one image pair per call (vmap for batch)."""
+    """Coarse-to-fine matcher; one image pair per call (loftr.py:12-93)."""
 
-    d_model: int = 256
-    d_fine: int = 128
-    nhead: int = 8
-    layers: int = 4
-    temperature: float = 0.1
-    conf_threshold: float = 0.2
-    max_matches: int = 256
-    fine_window: int = 5
+    config: LoFTRConfig = field(default_factory=LoFTRConfig)
 
     @nn.compact
     def __call__(self, img0, img1):
         """img0/img1: (H, W, 1) grayscale in [0, 1]; H, W divisible by 8."""
-        backbone = ResNetFPN(d_coarse=self.d_model, d_fine=self.d_fine)
-        c0, fine0 = backbone(img0[None])
-        c1, fine1 = backbone(img1[None])
+        cfg = self.config
+        backbone = ResNetFPN82(
+            cfg.initial_dim, cfg.block_dims, name="backbone"
+        )
+        # batch the two images like the reference's same-shape fast path
+        feats_c, feats_f = backbone(jnp.stack([img0, img1], axis=0))
+        c0, c1 = feats_c[:1], feats_c[1:]
+        f0, f1 = feats_f[:1], feats_f[1:]
         Hc, Wc = c0.shape[1:3]
-        N = Hc * Wc
+        Hf, Wf = f0.shape[1:3]
+        L = Hc * Wc
+        d = cfg.d_coarse
 
-        pe = sine_positional_encoding(Hc, Wc, self.d_model)[None]
-        t0 = (c0 + pe).reshape(1, N, self.d_model)
-        t1 = (c1 + pe).reshape(1, N, self.d_model)
-        t0, t1 = CoarseTransformer(self.d_model, self.nhead, self.layers)(t0, t1)
+        pe = jnp.asarray(
+            sine_positional_encoding(Hc, Wc, d, cfg.temp_bug_fix)
+        )[None]
+        t0 = (c0 + pe).reshape(1, L, d)
+        t1 = (c1 + pe).reshape(1, L, d)
+        t0, t1 = LocalFeatureTransformer(
+            d, cfg.nhead, tuple(cfg.coarse_layers), name="loftr_coarse"
+        )(t0, t1)
 
-        # dual-softmax coarse matching (coarse_matching.py)
-        sim = jnp.einsum("bnd,bmd->bnm", t0, t1) / (
-            self.d_model ** 0.5 * self.temperature
+        # dual-softmax coarse matching (coarse_matching.py:108-118)
+        n0 = t0 / d**0.5
+        n1 = t1 / d**0.5
+        sim = jnp.einsum("blc,bsc->bls", n0, n1) / cfg.temperature
+        conf_mat = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+        conf_mat = conf_mat[0]  # (L, L)
+        self.sow("intermediates", "conf_matrix", conf_mat)
+
+        # threshold + border removal + mutual maxima (:150-196)
+        keep = conf_mat > cfg.thr
+        b = cfg.border_rm
+        if b > 0:
+            row_ok = jnp.zeros((Hc, Wc), bool).at[b:-b, b:-b].set(True).reshape(L)
+            keep = keep & row_ok[:, None] & row_ok[None, :]
+        keep = (
+            keep
+            & (conf_mat == jnp.max(conf_mat, axis=1, keepdims=True))
+            & (conf_mat == jnp.max(conf_mat, axis=0, keepdims=True))
         )
-        p = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
-        p = p[0]  # (N, N)
+        j_ids = jnp.argmax(jnp.where(keep, conf_mat, -1.0), axis=1)   # (L,)
+        row_valid = jnp.any(keep, axis=1)
+        conf = jnp.where(row_valid, conf_mat[jnp.arange(L), j_ids], 0.0)
 
-        # mutual-max selection
-        best1 = jnp.argmax(p, axis=1)           # for each i in img0
-        best0 = jnp.argmax(p, axis=0)           # for each j in img1
-        mutual = best0[best1] == jnp.arange(N)
-        conf = p[jnp.arange(N), best1] * mutual
-        conf = jnp.where(conf > self.conf_threshold, conf, 0.0)
+        top_conf, top_i = jax.lax.top_k(conf, min(cfg.max_matches, L))
+        top_j = j_ids[top_i]
 
-        top_conf, top_i = jax.lax.top_k(conf, min(self.max_matches, N))
-        top_j = best1[top_i]
+        # coarse keypoints in image coords (get_coarse_match: idx * scale)
+        scale_c = img0.shape[0] // Hc
+        x0 = (top_i % Wc).astype(jnp.float32) * scale_c
+        y0 = (top_i // Wc).astype(jnp.float32) * scale_c
+        x1 = (top_j % Wc).astype(jnp.float32) * scale_c
+        y1 = (top_j // Wc).astype(jnp.float32) * scale_c
+        kpts0 = jnp.stack([x0, y0], axis=1)
+        kpts1_c = jnp.stack([x1, y1], axis=1)
 
-        grid_x = (top_i % Wc).astype(jnp.float32)
-        grid_y = (top_i // Wc).astype(jnp.float32)
-        grid_x1 = (top_j % Wc).astype(jnp.float32)
-        grid_y1 = (top_j // Wc).astype(jnp.float32)
+        # --- fine preprocess (fine_preprocess.py): window crops + coarse cat
+        W = cfg.window
+        half = W // 2
+        stride = Hf // Hc
+        f0p = jnp.pad(f0[0], ((half, half), (half, half), (0, 0)))
+        f1p = jnp.pad(f1[0], ((half, half), (half, half), (0, 0)))
 
-        # fine refinement: correlate fine features in a window around the
-        # coarse match on image-1 and take a soft-argmax (fine_matching.py)
-        scale = 4  # fine map is 1/2, coarse 1/8
-        w = self.fine_window
-        half = w // 2
+        def crop(fm, i):
+            yy = (i // Wc) * stride
+            xx = (i % Wc) * stride
+            return jax.lax.dynamic_slice(
+                fm, (yy, xx, 0), (W, W, fm.shape[-1])
+            ).reshape(W * W, fm.shape[-1])
 
-        f0 = fine0[0]
-        f1 = fine1[0]
+        w0 = jax.vmap(lambda i: crop(f0p, i))(top_i)      # (M, WW, d_fine)
+        w1 = jax.vmap(lambda i: crop(f1p, i))(top_j)
 
-        def refine(cx0, cy0, cx1, cy1):
-            x0, y0 = (cx0 * scale).astype(jnp.int32), (cy0 * scale).astype(jnp.int32)
-            x1, y1 = (cx1 * scale).astype(jnp.int32), (cy1 * scale).astype(jnp.int32)
-            center = f0[y0, x0]                               # (d_fine,)
-            patch = jax.lax.dynamic_slice(
-                jnp.pad(f1, ((half, half), (half, half), (0, 0))),
-                (y1, x1, 0), (w, w, f1.shape[-1]),
+        if cfg.fine_concat_coarse:
+            c_cat = jnp.concatenate(
+                [t0[0][top_i], t1[0][top_j]], axis=0
+            )                                              # (2M, d)
+            c_win = nn.Dense(cfg.d_fine, name="down_proj")(c_cat)
+            merged = nn.Dense(cfg.d_fine, name="merge_feat")(
+                jnp.concatenate(
+                    [
+                        jnp.concatenate([w0, w1], axis=0),
+                        jnp.broadcast_to(
+                            c_win[:, None, :], (c_win.shape[0], W * W, cfg.d_fine)
+                        ),
+                    ],
+                    axis=-1,
+                )
             )
-            heat = jax.nn.softmax(
-                (patch @ center).reshape(-1) / (f1.shape[-1] ** 0.5)
-            ).reshape(w, w)
-            dy = jnp.sum(heat * (jnp.arange(w, dtype=jnp.float32)[:, None] - half))
-            dx = jnp.sum(heat * (jnp.arange(w, dtype=jnp.float32)[None, :] - half))
-            return dx, dy
+            M = top_i.shape[0]
+            w0, w1 = merged[:M], merged[M:]
 
-        dx, dy = jax.vmap(refine)(grid_x, grid_y, grid_x1, grid_y1)
+        w0, w1 = LocalFeatureTransformer(
+            cfg.d_fine, cfg.nhead, tuple(cfg.fine_layers), name="loftr_fine"
+        )(w0, w1)
 
-        # to original image coordinates (coarse stride 8, fine stride 2)
-        kpts0 = jnp.stack([grid_x * 8 + 4, grid_y * 8 + 4], axis=1)
-        kpts1 = jnp.stack(
-            [grid_x1 * 8 + 4 + dx * 2, grid_y1 * 8 + 4 + dy * 2], axis=1
-        )
+        # --- fine matching (fine_matching.py:40-75): center-vs-window softargmax
+        center = w0[:, (W * W) // 2, :]                    # (M, d_fine)
+        sim_f = jnp.einsum("mc,mrc->mr", center, w1) / cfg.d_fine**0.5
+        heat = jax.nn.softmax(sim_f, axis=1)               # (M, WW)
+        gx = jnp.linspace(-1.0, 1.0, W)
+        grid = jnp.stack(
+            [jnp.tile(gx, W), jnp.repeat(gx, W)], axis=1
+        )                                                  # (WW, 2) x,y
+        coords_norm = heat @ grid                          # (M, 2) in [-1, 1]
+        scale_f = img0.shape[0] // Hf
+        kpts1 = kpts1_c + coords_norm * half * scale_f
+
         return MatchResult(kpts0=kpts0, kpts1=kpts1, conf=top_conf)
 
 
+# -------------------------------------------------------------- conversion
+
+
+def convert_loftr_state_dict(
+    sd: Mapping[str, Any], config: LoFTRConfig = LoFTRConfig()
+) -> Dict[str, Any]:
+    """Convert a torch LoFTR ``state_dict`` (the released outdoor/indoor ckpt
+    layout, possibly with a ``matcher.`` prefix) into our Flax variables."""
+
+    def np_of(t):
+        try:
+            return t.detach().cpu().numpy()
+        except AttributeError:
+            return np.asarray(t)
+
+    sd = {
+        (k[len("matcher."):] if k.startswith("matcher.") else k): v
+        for k, v in sd.items()
+    }
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def set_in(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    def conv(src, dst):
+        set_in(params, dst + ("kernel",), np.transpose(np_of(sd[src + ".weight"]), (2, 3, 1, 0)))
+
+    def bn(src, dst):
+        set_in(params, dst + ("scale",), np_of(sd[src + ".weight"]))
+        set_in(params, dst + ("bias",), np_of(sd[src + ".bias"]))
+        set_in(stats, dst + ("mean",), np_of(sd[src + ".running_mean"]))
+        set_in(stats, dst + ("var",), np_of(sd[src + ".running_var"]))
+
+    def dense(src, dst, bias=True):
+        set_in(params, dst + ("kernel",), np_of(sd[src + ".weight"]).T)
+        if bias:
+            set_in(params, dst + ("bias",), np_of(sd[src + ".bias"]))
+
+    def ln(src, dst):
+        set_in(params, dst + ("scale",), np_of(sd[src + ".weight"]))
+        set_in(params, dst + ("bias",), np_of(sd[src + ".bias"]))
+
+    B = ("backbone",)
+    conv("backbone.conv1", B + ("conv1",))
+    bn("backbone.bn1", B + ("bn1",))
+    for stage in (1, 2, 3):
+        for blk in (0, 1):
+            src = f"backbone.layer{stage}.{blk}"
+            dst = B + (f"layer{stage}_{blk}",)
+            conv(f"{src}.conv1", dst + ("conv1",))
+            bn(f"{src}.bn1", dst + ("bn1",))
+            conv(f"{src}.conv2", dst + ("conv2",))
+            bn(f"{src}.bn2", dst + ("bn2",))
+            if f"{src}.downsample.0.weight" in sd:
+                conv(f"{src}.downsample.0", dst + ("downsample_conv",))
+                bn(f"{src}.downsample.1", dst + ("downsample_bn",))
+    for lvl in (3, 2, 1):
+        conv(f"backbone.layer{lvl}_outconv", B + (f"layer{lvl}_outconv",))
+        if lvl < 3:
+            conv(f"backbone.layer{lvl}_outconv2.0", B + (f"layer{lvl}_outconv2_0",))
+            bn(f"backbone.layer{lvl}_outconv2.1", B + (f"layer{lvl}_outconv2_1",))
+            conv(f"backbone.layer{lvl}_outconv2.3", B + (f"layer{lvl}_outconv2_3",))
+
+    def encoder(src_mod, dst_mod, n_layers):
+        for i in range(n_layers):
+            src = f"{src_mod}.layers.{i}"
+            dst = (dst_mod, f"layer{i}")
+            for p in ("q_proj", "k_proj", "v_proj", "merge"):
+                dense(f"{src}.{p}", dst + (p,), bias=False)
+            dense(f"{src}.mlp.0", dst + ("mlp1",), bias=False)
+            dense(f"{src}.mlp.2", dst + ("mlp2",), bias=False)
+            ln(f"{src}.norm1", dst + ("norm1",))
+            ln(f"{src}.norm2", dst + ("norm2",))
+
+    encoder("loftr_coarse", "loftr_coarse", len(config.coarse_layers))
+    encoder("loftr_fine", "loftr_fine", len(config.fine_layers))
+
+    if config.fine_concat_coarse:
+        dense("fine_preprocess.down_proj", ("down_proj",))
+        dense("fine_preprocess.merge_feat", ("merge_feat",))
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_loftr_checkpoint(path: str, config: LoFTRConfig = LoFTRConfig()):
+    """Load a released LoFTR ckpt file (``{"state_dict": ...}``) and convert."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    return convert_loftr_state_dict(sd, config)
+
+
+# ------------------------------------------------------------------ drivers
+
+
 def init_matcher(
-    image_shape: Tuple[int, int] = (480, 640), rng=None, **kwargs
+    image_shape: Tuple[int, int] = (480, 640),
+    rng=None,
+    config: LoFTRConfig = None,
+    **overrides,
 ):
     """Build + init a LoFTRMatcher; returns (module, variables)."""
-    m = LoFTRMatcher(**kwargs)
+    cfg = config or LoFTRConfig(**overrides)
+    m = LoFTRMatcher(config=cfg)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     H, W = image_shape
     dummy = jnp.zeros((H, W, 1), jnp.float32)

@@ -118,6 +118,93 @@ def _install_torchvision_stub():
     sys.modules["torchvision.datasets"] = tv.datasets
 
 
+def _install_loftr_stubs():
+    """Stub kornia (two small functions) and yacs so the vendored torch LoFTR
+    imports; neither package is installed here."""
+    if "kornia" not in sys.modules:
+        try:
+            import kornia  # noqa: F401
+        except ImportError:
+            kornia = types.ModuleType("kornia")
+            geometry = types.ModuleType("kornia.geometry")
+            subpix = types.ModuleType("kornia.geometry.subpix")
+            dsnt = types.ModuleType("kornia.geometry.subpix.dsnt")
+            utils = types.ModuleType("kornia.utils")
+            grid_mod = types.ModuleType("kornia.utils.grid")
+
+            def create_meshgrid(height, width, normalized_coordinates=True,
+                                device=None, dtype=None):
+                if normalized_coordinates:
+                    xs = torch.linspace(-1.0, 1.0, width)
+                    ys = torch.linspace(-1.0, 1.0, height)
+                else:
+                    xs = torch.arange(width, dtype=torch.float32)
+                    ys = torch.arange(height, dtype=torch.float32)
+                gy, gx = torch.meshgrid(ys, xs, indexing="ij")
+                return torch.stack([gx, gy], dim=-1)[None]  # (1, H, W, 2) x,y
+
+            def spatial_expectation2d(heatmap, normalized_coordinates=True):
+                B, N, H, W = heatmap.shape
+                grid = create_meshgrid(H, W, normalized_coordinates).reshape(1, 1, H * W, 2)
+                return torch.sum(
+                    heatmap.reshape(B, N, H * W, 1) * grid, dim=2
+                )  # (B, N, 2)
+
+            dsnt.spatial_expectation2d = spatial_expectation2d
+            grid_mod.create_meshgrid = create_meshgrid
+            utils.create_meshgrid = create_meshgrid
+            utils.grid = grid_mod
+            geometry.subpix = subpix
+            subpix.dsnt = dsnt
+            kornia.geometry = geometry
+            kornia.utils = utils
+            for name, mod in [
+                ("kornia", kornia), ("kornia.geometry", geometry),
+                ("kornia.geometry.subpix", subpix),
+                ("kornia.geometry.subpix.dsnt", dsnt),
+                ("kornia.utils", utils), ("kornia.utils.grid", grid_mod),
+            ]:
+                sys.modules[name] = mod
+
+    if "yacs" not in sys.modules:
+        try:
+            import yacs  # noqa: F401
+        except ImportError:
+            yacs_mod = types.ModuleType("yacs")
+            config_mod = types.ModuleType("yacs.config")
+
+            class CfgNode(dict):
+                def __getattr__(self, k):
+                    try:
+                        return self[k]
+                    except KeyError as e:
+                        raise AttributeError(k) from e
+
+                def __setattr__(self, k, v):
+                    self[k] = v
+
+                def clone(self):
+                    import copy
+
+                    return copy.deepcopy(self)
+
+            config_mod.CfgNode = CfgNode
+            yacs_mod.config = config_mod
+            sys.modules["yacs"] = yacs_mod
+            sys.modules["yacs.config"] = config_mod
+
+
+def load_reference_loftr():
+    """Import the vendored torch LoFTR (``src/utils/src/loftr``) with stubs."""
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    _install_loftr_stubs()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from src.utils.src.loftr import LoFTR, default_cfg
+
+    return LoFTR, default_cfg
+
+
 def load_reference_retrieval_module():
     """Import ``src.networks.imageretrievalnet`` from /root/reference (read-only)."""
     os.environ.setdefault("MPLBACKEND", "Agg")

@@ -129,10 +129,12 @@ class TestLoFTRRerank:
             cv2.imwrite(p, img)
             paths[name] = p
 
+        small = loftr.LoFTRConfig(
+            initial_dim=32, block_dims=(32, 48, 64), d_coarse=64, d_fine=32,
+            nhead=4, coarse_layers=("self", "cross"), thr=0.0, max_matches=64,
+        )
         m, variables = loftr.init_matcher(
-            image_shape=(64, 96), rng=jax.random.PRNGKey(0),
-            d_model=64, d_fine=32, nhead=4, layers=1, max_matches=64,
-            conf_threshold=0.0,
+            image_shape=(64, 96), rng=jax.random.PRNGKey(0), config=small,
         )
         match_fn = loftr.make_match_fn(m, variables)
         ranks = np.array([[1, 0]])
