@@ -35,29 +35,45 @@ ALPHA = 0.99       # laplacian alpha (diffusion.py:87)
 CG_MAXITER = 20    # diffusion.py:18
 CG_TOL = 1e-6
 
+# The reference only runs diffusion below this gallery size (Reranking.py:212:
+# the >=120k branch does alphaQE only). Above it the dense-ish offline artifact
+# costs ~N*T*(4+2) bytes and must be explicitly opted into.
+DIFFUSION_REGIME_MAX = 120_000
+
 
 @dataclass
 class DiffusionOffline:
-    """Per-gallery-row truncated diffusion scores over their kNN supports."""
+    """Per-gallery-row truncated diffusion scores over their kNN supports.
 
-    trunc_ids: jnp.ndarray  # (N, T) int32
-    scores: jnp.ndarray     # (N, T) float32
+    Arrays may live on device (jnp, small galleries) or host (np, large
+    galleries built with ``host_out=True`` — the online pass then gathers only
+    the query-neighbour rows on the host, so the multi-GB artifact never
+    occupies HBM)."""
+
+    trunc_ids: "np.ndarray | jnp.ndarray"  # (N, T) int32
+    scores: "np.ndarray | jnp.ndarray"     # (N, T) float32 or float16
 
     @property
     def n(self) -> int:
         return self.trunc_ids.shape[0]
 
+    @property
+    def on_host(self) -> bool:
+        return isinstance(self.trunc_ids, np.ndarray)
+
     def save(self, path: str) -> None:
         np.savez(
             path,
             trunc_ids=np.asarray(self.trunc_ids, np.int32),
-            scores=np.asarray(self.scores, np.float32),
+            scores=np.asarray(self.scores),
         )
 
     @classmethod
-    def load(cls, path: str) -> "DiffusionOffline":
+    def load(cls, path: str, to_device: bool = True) -> "DiffusionOffline":
         z = np.load(path)
-        return cls(jnp.asarray(z["trunc_ids"]), jnp.asarray(z["scores"]))
+        if to_device:
+            return cls(jnp.asarray(z["trunc_ids"]), jnp.asarray(z["scores"]))
+        return cls(z["trunc_ids"], z["scores"])
 
 
 def _knn_graph(vecs: jnp.ndarray, k: int):
@@ -133,30 +149,77 @@ def _batched_trunc_cg(lap_nbr, lap_val, trunc_ids):
     return jax.vmap(solve_one)(trunc_ids)
 
 
+def budget_trunc_size(
+    n: int, n_trunc: int, memory_budget_bytes: int, score_bytes: int = 2
+) -> int:
+    """Largest support size T (multiple of 128, >= 128) whose (N, T) ids+scores
+    artifact fits ``memory_budget_bytes`` (ids are int32)."""
+    per_row = 4 + score_bytes
+    t = memory_budget_bytes // (n * per_row)
+    t = max(128, (t // 128) * 128)
+    return min(n_trunc, t)
+
+
 def build_diffusion_offline(
     vecs: jnp.ndarray,
     n_trunc: int = 2000,
     kd: int = 50,
     batch: int = 256,
+    host_out: bool = None,
+    score_dtype=None,
+    memory_budget_bytes: int = None,
+    allow_large: bool = False,
 ) -> DiffusionOffline:
     """Gallery-side diffusion (diffusion.py:52-84).
 
     ``n_trunc`` is the truncated-support size (reference: 2000), ``kd`` the
-    affinity graph degree (50..200). Solves run in device batches of ``batch``.
+    affinity graph degree (50..200). The self-kNN and the CG solves are fused
+    per ``batch`` of gallery rows, so peak device memory is the Laplacian
+    ((N, kd) ids+vals) plus one batch — never the full (N, T) artifact.
+
+    Large galleries (> ``DIFFUSION_REGIME_MAX``, the reference's 120k regime
+    switch at Reranking.py:212) require ``allow_large=True`` and should pass a
+    ``memory_budget_bytes`` (shrinks T) — the artifact streams to host float16
+    (``host_out`` defaults to True there; the online pass gathers rows on host).
     """
     N = vecs.shape[0]
+    if N > DIFFUSION_REGIME_MAX and not allow_large:
+        raise ValueError(
+            f"gallery of {N} rows exceeds the reference's diffusion regime "
+            f"(<{DIFFUSION_REGIME_MAX}, Reranking.py:212 runs alphaQE only "
+            "there). Pass allow_large=True plus memory_budget_bytes to build "
+            "a truncated large-scale artifact anyway."
+        )
+    if host_out is None:
+        host_out = N > DIFFUSION_REGIME_MAX
+    if score_dtype is None:
+        score_dtype = np.float16 if host_out else np.float32
+
     T = min(n_trunc, N)
+    if memory_budget_bytes is not None:
+        T = budget_trunc_size(
+            N, T, memory_budget_bytes, np.dtype(score_dtype).itemsize
+        )
     kd = min(kd, N)
 
-    _, trunc_ids = _knn_graph(vecs, T)            # (N, T), self at rank 0
     lap_nbr, lap_val = _laplacian_rows(vecs, kd)
 
-    solve = jax.jit(_batched_trunc_cg)
-    out = []
+    @partial(jax.jit, static_argnames=("k",))
+    def knn_and_solve(rows, k):
+        _, tids = exact_topk(rows, vecs, k, metric="ip")
+        return tids, _batched_trunc_cg(lap_nbr, lap_val, tids)
+
+    ids_out, sc_out = [], []
     for start in range(0, N, batch):
-        out.append(solve(lap_nbr, lap_val, trunc_ids[start : start + batch]))
-    scores = jnp.concatenate(out, axis=0)
-    return DiffusionOffline(trunc_ids=trunc_ids, scores=scores)
+        tids, sc = knn_and_solve(vecs[start : start + batch], T)
+        if host_out:
+            ids_out.append(np.asarray(tids, np.int32))
+            sc_out.append(np.asarray(sc).astype(score_dtype))
+        else:
+            ids_out.append(tids)
+            sc_out.append(sc.astype(score_dtype))
+    cat = np.concatenate if host_out else jnp.concatenate
+    return DiffusionOffline(trunc_ids=cat(ids_out, axis=0), scores=cat(sc_out, axis=0))
 
 
 @partial(jax.jit, static_argnames=("k_query",))
@@ -180,6 +243,33 @@ def diffusion_online_scores(
     return dense.at[qidx, ids].add(vals)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _scatter_rows(ids, vals, wq, n):
+    """(Q, k, T) gathered offline rows -> dense (Q, n) weighted combination."""
+    Q = ids.shape[0]
+    dense = jnp.zeros((Q, n), jnp.float32)
+    qidx = jnp.arange(Q, dtype=jnp.int32)[:, None, None]
+    return dense.at[qidx, ids].add(vals.astype(jnp.float32) * wq[:, :, None])
+
+
+def diffusion_online_scores_hosted(
+    offline: DiffusionOffline,
+    vecs: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    k_query: int = 3,
+) -> jnp.ndarray:
+    """Online diffusion against a host-resident artifact: only the Q*k_query
+    neighbour rows cross to the device (the multi-GB (N, T) arrays stay on
+    host — device->host/host->device through the axon tunnel is slow and HBM
+    is the scarce resource at 1M)."""
+    qsims, qids = exact_topk(qvecs, vecs, k_query, metric="ip")
+    wq = jnp.clip(qsims, min=0.0) ** GAMMA
+    qids_h = np.asarray(qids)
+    ids = np.asarray(offline.trunc_ids[qids_h], np.int32)   # (Q, k, T) host gather
+    vals = np.asarray(offline.scores[qids_h])
+    return _scatter_rows(jnp.asarray(ids), jnp.asarray(vals), wq, vecs.shape[0])
+
+
 def diffusion_rerank(
     vecs,
     qvecs,
@@ -188,15 +278,21 @@ def diffusion_rerank(
     kd: int = 50,
     k_query: int = 3,
     truncation: int = None,
+    **build_kwargs,
 ):
     """Full QGE random-walk pass: returns (ranks (Q, R), offline) with R =
-    ``truncation`` (reference: 2000) ranked by diffusion score."""
+    ``truncation`` (reference: 2000) ranked by diffusion score. Extra kwargs
+    (``allow_large``, ``memory_budget_bytes``, ``host_out``) forward to
+    ``build_diffusion_offline``."""
     N = vecs.shape[0]
     if offline is None:
-        offline = build_diffusion_offline(vecs, n_trunc=n_trunc, kd=kd)
-    scores = diffusion_online_scores(
-        offline.trunc_ids, offline.scores, vecs, qvecs, k_query=k_query
-    )
+        offline = build_diffusion_offline(vecs, n_trunc=n_trunc, kd=kd, **build_kwargs)
+    if offline.on_host:
+        scores = diffusion_online_scores_hosted(offline, vecs, qvecs, k_query=k_query)
+    else:
+        scores = diffusion_online_scores(
+            offline.trunc_ids, offline.scores, vecs, qvecs, k_query=k_query
+        )
     R = min(truncation or n_trunc, N)
     _, ranks = jax.lax.top_k(scores, R)
     return ranks, offline

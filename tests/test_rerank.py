@@ -147,3 +147,84 @@ def test_kr_rerank_oom_guard():
     )
     with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
         kr_rerank(q, g)
+
+
+class TestDiffusionAtScale:
+    """Scalable offline build: chunked kNN+solve, host f16 artifact, regime
+    guard (Reranking.py:212), memory-budgeted support size."""
+
+    def _vecs(self, n=400, d=32, seed=0):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((8, d))
+        x = np.repeat(centers, n // 8, axis=0) + 0.2 * rng.standard_normal((n, d))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return jnp.asarray(x, jnp.float32)
+
+    def test_hosted_artifact_matches_device(self):
+        from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+            build_diffusion_offline,
+            diffusion_online_scores,
+            diffusion_online_scores_hosted,
+        )
+
+        v = self._vecs()
+        q = v[:5] + 0.01
+        dev = build_diffusion_offline(v, n_trunc=128, kd=16, host_out=False)
+        host = build_diffusion_offline(v, n_trunc=128, kd=16, host_out=True)
+        assert host.on_host and not dev.on_host
+        assert host.scores.dtype == np.float16
+        s_dev = np.asarray(
+            diffusion_online_scores(dev.trunc_ids, dev.scores, v, q)
+        )
+        s_host = np.asarray(diffusion_online_scores_hosted(host, v, q))
+        # identical supports; scores differ only by the f16 rounding
+        np.testing.assert_array_equal(
+            np.asarray(dev.trunc_ids), host.trunc_ids
+        )
+        np.testing.assert_allclose(s_host, s_dev, rtol=3e-3, atol=3e-3)
+        # ranking agreement at the top
+        top_dev = np.argsort(-s_dev, axis=1)[:, :10]
+        top_host = np.argsort(-s_host, axis=1)[:, :10]
+        assert (top_dev[:, 0] == top_host[:, 0]).all()
+
+    def test_regime_guard(self):
+        import jax.numpy as jnp
+
+        from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+            build_diffusion_offline,
+        )
+
+        fake = jnp.zeros((1, 8), jnp.float32)
+
+        class FakeShape:
+            shape = (200_000, 8)
+
+        with pytest.raises(ValueError, match="120000|regime"):
+            build_diffusion_offline(FakeShape())
+
+    def test_budget_trunc_size(self):
+        from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+            budget_trunc_size,
+        )
+
+        # 1M rows, 4 GiB budget, f16 scores -> T = floor(4GiB/6/1M) -> 640
+        t = budget_trunc_size(1_000_000, 2000, 4 << 30, score_bytes=2)
+        assert t == 640
+        assert budget_trunc_size(1000, 2000, 1 << 30) == 2000  # budget not binding -> n_trunc
+        assert budget_trunc_size(10_000_000, 2000, 1 << 20) == 128  # floor
+
+    def test_save_load_host(self, tmp_path):
+        from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+            DiffusionOffline,
+            build_diffusion_offline,
+        )
+
+        v = self._vecs(n=160)
+        off = build_diffusion_offline(v, n_trunc=64, kd=8, host_out=True)
+        p = str(tmp_path / "off.npz")
+        off.save(p)
+        loaded = DiffusionOffline.load(p, to_device=False)
+        assert loaded.on_host and loaded.scores.dtype == np.float16
+        np.testing.assert_array_equal(loaded.trunc_ids, off.trunc_ids)
