@@ -261,12 +261,18 @@ def build_hnsw_pq(
     iters: int = 20,
     seed: int = 42,
     normalize: bool = True,
+    train_sample: Optional[int] = None,
 ) -> HNSWPQIndex:
-    """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683)."""
+    """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683).
+
+    The reference driver's operating point is Ks=2^13 (offline.py:116,
+    ``N_words=2**13``); at that codebook size nearly every database row gets a
+    unique code, so the graph covers ~N nodes and the build cost approaches
+    plain HNSW over the decoded vectors (see BASELINE.md regime table)."""
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
         v = normalize_rows(v)
-    cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed)
+    cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample)
     codes = np.asarray(pq_encode(cb, v))
 
     unique, inverse = np.unique(codes, return_inverse=True, axis=0)

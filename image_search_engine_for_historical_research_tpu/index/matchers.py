@@ -112,16 +112,32 @@ def _build_or_load(path, ifgenerate, builder):
     return load_index(path)
 
 
+def _clamp_ks(Ks, n_rows):
+    """Largest power-of-two codebook the training set can populate.
+
+    The reference drivers hardwire Ks=2^13 (offline.py:109,116) and nanopq
+    asserts N >= Ks; small fixture datasets keep working by halving down."""
+    while Ks > max(1, n_rows):
+        Ks //= 2
+    return Ks
+
+
 def matching_Nano_PQ(
-    K, train, test, dataset, N_books=16, n_bits_perbook=8,
+    K, train, test, dataset, N_books=16, n_bits_perbook=13,
     ifgenerate=True, outputs="outputs", warmup=True,
 ):
-    """PQ + asymmetric-distance scan (nnsearch.py:847-901)."""
+    """PQ + asymmetric-distance scan (nnsearch.py:847-901).
+
+    Defaults follow the reference driver (offline.py:109: N_books=16,
+    n_bits_perbook=13), not nanopq's 8-bit default."""
     q = normalize_rows(_as_rows(test))
+    rows = _as_rows(train)
     path = _artifact(dataset, "pq", outputs)
     index = _build_or_load(
         path, ifgenerate,
-        lambda: build_pq(_as_rows(train), M=N_books, Ks=2 ** n_bits_perbook),
+        lambda: build_pq(
+            rows, M=N_books, Ks=_clamp_ks(2 ** n_bits_perbook, rows.shape[0])
+        ),
     )
     return _timed_search(index, q, min(K, index.n), warmup)
 
@@ -155,16 +171,21 @@ def matching_HNSW(
 
 
 def matching_HNSW_NanoPQ(
-    K, train, test, dataset, N_books=16, N_words=256, m=16, ef=100,
+    K, train, test, dataset, N_books=16, N_words=2 ** 13, m=16, ef=100,
     ifgenerate=True, outputs="outputs", warmup=True,
 ):
-    """PQ-encode + dedupe + HNSW over unique codes (nnsearch.py:585-683)."""
+    """PQ-encode + dedupe + HNSW over unique codes (nnsearch.py:585-683).
+
+    Defaults follow the reference driver (offline.py:116 / online.py:141:
+    N_books=16, N_words=2**13, m=16, ef=100)."""
     q = normalize_rows(_as_rows(test))
+    rows = _as_rows(train)
     path = _artifact(dataset, "hnsw_pq", outputs)
     index = _build_or_load(
         path, ifgenerate,
         lambda: build_hnsw_pq(
-            _as_rows(train), M=N_books, Ks=N_words, m=m, ef_construction=ef
+            rows, M=N_books, Ks=_clamp_ks(N_words, rows.shape[0]),
+            m=m, ef_construction=ef,
         ),
     )
     return _timed_search(index, q, min(K, index.n), warmup)

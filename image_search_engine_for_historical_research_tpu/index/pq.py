@@ -64,15 +64,19 @@ def build_pq(
     iters: int = 20,
     seed: int = 42,
     normalize: bool = True,
+    train_sample: int | None = None,
 ) -> PQIndex:
     """Train codebooks on the database and encode it (nnsearch.py:879-891).
 
-    Reference defaults: M=16 books, Ks=2^n_bits (n_bits=8), 20 k-means iters,
-    seed 42, rows L2-normalized first.
+    Reference defaults: M=16 books, Ks=2^n_bits, 20 k-means iters, seed 42,
+    rows L2-normalized first. The reference drivers run n_bits=13
+    (offline.py:109 ``N_books=16, n_bits_perbook=13``); above Ks=2048 the fit
+    subsamples and runs bf16 assignment matmuls unless overridden
+    (see ``ops.pq.pq_train``).
     """
     v = jnp.asarray(vecs)
     if normalize:
         v = normalize_rows(v)
-    cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed)
+    cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample)
     codes = pq_encode(cb, v)
     return PQIndex(codewords=cb.codewords, codes=codes, normalized=normalize)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 INIT_SAMPLE = 65536  # kmeans++ init subsample size
+ASSIGN_BUDGET = 1 << 27  # elements: cap on the transient (chunk, k) distance block
 
 
 def _chunked(x: jnp.ndarray, chunk: int):
@@ -33,8 +34,15 @@ def _chunked(x: jnp.ndarray, chunk: int):
     return x.reshape(-1, chunk, d), N
 
 
-def _assign_chunk(xc, centers, c2):
-    """Nearest-center ids for one chunk (chunk, d)."""
+def _assign_chunk(xc, centers, c2, matmul_dtype=None):
+    """Nearest-center ids for one chunk (chunk, d).
+
+    ``matmul_dtype=bfloat16`` runs the distance matmul on the MXU fast path
+    (f32 accumulate): at Ks=2^13 the assignment matmul dominates training and
+    argmin ranking is robust to bf16 input rounding.
+    """
+    if matmul_dtype is not None:
+        xc, centers = xc.astype(matmul_dtype), centers.astype(matmul_dtype)
     dots = jax.lax.dot_general(
         xc, centers, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -67,18 +75,44 @@ def _kmeanspp_init(x: jnp.ndarray, k: int, key) -> jnp.ndarray:
     return jnp.concatenate([first[None, :], rest], axis=0)
 
 
-@partial(jax.jit, static_argnames=("k", "iters", "chunk"))
-def kmeans_fit(x: jnp.ndarray, k: int, iters: int = 20, key=None, chunk: int = 131072):
+@partial(jax.jit, static_argnames=("k", "iters", "chunk", "matmul_dtype", "init"))
+def kmeans_fit(
+    x: jnp.ndarray,
+    k: int,
+    iters: int = 20,
+    key=None,
+    chunk: int = 131072,
+    matmul_dtype=None,
+    init: str = "kmeans++",
+):
     """Lloyd k-means: returns ``(centers (k, d), assignments (N,))``.
 
     k-means++ init (seeded, deterministic like nanopq's seed=42 contract);
     empty clusters keep their previous center; assignment streams over row
-    chunks so peak memory is O(chunk * k).
+    chunks so peak memory is O(chunk * k) — the chunk auto-shrinks with k so
+    the transient distance block stays under ``ASSIGN_BUDGET`` elements
+    (at Ks=2^13 the reference driver's PQ operating point, offline.py:116,
+    a 131072-row chunk alone would be a 4.3 GB block).
+    ``matmul_dtype``: see ``_assign_chunk`` (centroid sums stay f32).
+    ``init="points"``: distinct random data points instead of k-means++ —
+    the k-means++ D^2 sampling is an inherently sequential k-step scan
+    (minutes at k=2^13 x 16 subspaces), while faiss-style points-init plus
+    Lloyd reaches the same distortion at large k.
     """
     N, d = x.shape
     key = key if key is not None else jax.random.PRNGKey(42)
-    init_centers = _kmeanspp_init(x, k, key)
+    if init == "points":
+        idx = jax.random.choice(key, N, shape=(min(k, N),), replace=False)
+        init_centers = x[idx].astype(jnp.float32)
+        if k > N:
+            init_centers = jnp.concatenate(
+                [init_centers,
+                 jnp.zeros((k - N, d), jnp.float32) + init_centers[:1]], 0
+            )
+    else:
+        init_centers = _kmeanspp_init(x, k, key)
 
+    chunk = min(chunk, max(1024, ASSIGN_BUDGET // k))
     chunk = min(chunk, ((N + 127) // 128) * 128)
     xc, n_real = _chunked(x, chunk)
     nchunks = xc.shape[0]
@@ -94,7 +128,7 @@ def kmeans_fit(x: jnp.ndarray, k: int, iters: int = 20, key=None, chunk: int = 1
         def acc_chunk(carry, inp):
             sums, counts = carry
             xcb, vmask = inp
-            assign = _assign_chunk(xcb, centers, c2)
+            assign = _assign_chunk(xcb, centers, c2, matmul_dtype)
             w = vmask.astype(jnp.float32)
             sums = sums + jax.ops.segment_sum(
                 xcb.astype(jnp.float32) * w[:, None], assign, num_segments=k
@@ -116,7 +150,9 @@ def kmeans_fit(x: jnp.ndarray, k: int, iters: int = 20, key=None, chunk: int = 1
 
     # final assignment, chunked
     c2 = jnp.sum(centers**2, axis=1)
-    assign = jax.lax.map(lambda xcb: _assign_chunk(xcb, centers, c2), xc)
+    assign = jax.lax.map(
+        lambda xcb: _assign_chunk(xcb, centers, c2, matmul_dtype), xc
+    )
     return centers, assign.reshape(-1)[:n_real]
 
 

@@ -37,14 +37,32 @@ class PQCodebook(NamedTuple):
         return self.codewords.shape[2]
 
 
+LARGE_KS = 2048  # above this, default to bf16 assignment matmuls + subsampled fit
+
+
 def pq_train(
-    vecs: jnp.ndarray, M: int = 16, Ks: int = 256, iters: int = 20, seed: int = 42
+    vecs: jnp.ndarray,
+    M: int = 16,
+    Ks: int = 256,
+    iters: int = 20,
+    seed: int = 42,
+    train_sample: int | None = None,
+    matmul_dtype=None,
 ) -> PQCodebook:
     """Fit the M sub-codebooks (nnsearch.py:880-885 semantics).
 
     Subspaces are fit sequentially over column slices (one XLA compilation,
     O(N * ds) extra memory) rather than as one (M, N, ds) transposed copy —
     at 1M x 2048 f32 that copy alone is 8 GB.
+
+    Large codebooks (the reference driver's operating point is Ks=2^13,
+    offline.py:116) make full-data f32 Lloyd iterations the build bottleneck
+    (each iteration is an N x Ks x ds matmul per subspace — ~34 TFLOP at
+    1M x 2048, x20 iters). Above ``LARGE_KS`` the fit therefore defaults to
+    (a) bf16 assignment matmuls (argmin ranking is robust to input rounding;
+    centroid accumulation stays f32) and (b) a 32*Ks-row training subsample
+    (faiss-style points-per-centroid budget). Both are overridable; the full
+    database is always encoded exactly afterwards.
     """
     import numpy as np
 
@@ -52,26 +70,56 @@ def pq_train(
     if D % M:
         raise ValueError(f"dim {D} not divisible by M={M}")
     ds = D // M
+    init = "kmeans++"
+    if matmul_dtype is None and Ks > LARGE_KS:
+        matmul_dtype = jnp.bfloat16
+    if Ks > LARGE_KS:
+        if train_sample is None:
+            train_sample = max(65536, 32 * Ks)
+        init = "points"  # k-means++ is a sequential k-step scan: minutes at 2^13
+    fit_vecs = vecs
+    if train_sample is not None and train_sample < N:
+        idx = np.sort(
+            np.random.RandomState(seed).choice(N, train_sample, replace=False)
+        )
+        fit_vecs = vecs[jnp.asarray(idx)]
     keys = jax.random.split(jax.random.PRNGKey(seed), M)
     centers = []
     for m in range(M):
-        sub = jax.lax.dynamic_slice_in_dim(vecs, m * ds, ds, axis=1)
-        c, _ = kmeans_fit(sub, Ks, iters, keys[m])
+        sub = jax.lax.dynamic_slice_in_dim(fit_vecs, m * ds, ds, axis=1)
+        c, _ = kmeans_fit(
+            sub, Ks, iters, keys[m], matmul_dtype=matmul_dtype, init=init
+        )
         centers.append(c)
     return PQCodebook(codewords=jnp.stack(centers))
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def pq_encode(codebook: PQCodebook, vecs: jnp.ndarray, chunk: int = 131072) -> jnp.ndarray:
-    """Encode rows to (N, M) nearest-codeword ids (uint8 when Ks <= 256).
+@partial(jax.jit, static_argnames=("chunk", "matmul_dtype"))
+def pq_encode(
+    codebook: PQCodebook,
+    vecs: jnp.ndarray,
+    chunk: int = 131072,
+    matmul_dtype=None,
+) -> jnp.ndarray:
+    """Encode rows to (N, M) nearest-codeword ids (uint8/uint16 by Ks).
 
     Streams over row chunks: the (N, M, Ks) distance tensor is never
-    materialized (16 GB at 1M x 16 x 256)."""
+    materialized (16 GB at 1M x 16 x 256); the chunk auto-shrinks with
+    M * Ks so the per-chunk block stays bounded at large codebooks
+    (Ks=2^13: 2048-row chunks)."""
     N, D = vecs.shape
     M, Ks, ds = codebook.codewords.shape
-    dtype = jnp.uint8 if Ks <= 256 else jnp.int32
+    if matmul_dtype is None and Ks > LARGE_KS:
+        matmul_dtype = jnp.bfloat16
+    dtype = (
+        jnp.uint8 if Ks <= 256 else jnp.uint16 if Ks <= 65536 else jnp.int32
+    )
     c2 = jnp.sum(codebook.codewords.astype(jnp.float32) ** 2, axis=2)  # (M, Ks)
+    cw = codebook.codewords
+    if matmul_dtype is not None:
+        cw = cw.astype(matmul_dtype)
 
+    chunk = min(chunk, max(128, (1 << 28) // (M * Ks)))
     chunk = min(chunk, ((N + 127) // 128) * 128)
     pad = (-N) % chunk
     v = jnp.concatenate([vecs, jnp.zeros((pad, D), vecs.dtype)], 0) if pad else vecs
@@ -79,8 +127,10 @@ def pq_encode(codebook: PQCodebook, vecs: jnp.ndarray, chunk: int = 131072) -> j
 
     def one(xcb):
         sub = xcb.reshape(chunk, M, ds)
+        if matmul_dtype is not None:
+            sub = sub.astype(matmul_dtype)
         dots = jnp.einsum(
-            "nmd,mkd->nmk", sub, codebook.codewords,
+            "nmd,mkd->nmk", sub, cw,
             preferred_element_type=jnp.float32,
         )
         return jnp.argmin(c2[None, :, :] - 2.0 * dots, axis=2).astype(dtype)
@@ -124,7 +174,7 @@ def pq_search(
     queries: jnp.ndarray,
     k: int,
     chunk: int = 65536,
-    method: str = "onehot",
+    method: str = "auto",
 ):
     """ADC top-k over the code matrix, streamed in chunks.
 
@@ -133,16 +183,23 @@ def pq_search(
     (larger = better), matching the flat-search convention.
 
     ``method``:
-    - ``"onehot"`` (default): per subspace, ``one_hot(codes) @ lut_m.T`` — the
-      LUT lookup becomes an MXU matmul (the standard TPU embedding trick).
-      Measured ~15x faster than gathers at 1M x 16 x 256: TPU gathers run on
-      the scalar unit, matmuls on the systolic array.
-    - ``"gather"``: jnp.take accumulation (reference-shaped; useful on CPU).
+    - ``"onehot"``: per subspace, ``one_hot(codes) @ lut_m`` — the LUT lookup
+      becomes an MXU matmul (the standard TPU embedding trick). Measured ~15x
+      faster than gathers at Ks=256 (1M x 16 books): TPU gathers run on the
+      scalar unit, matmuls on the systolic array.
+    - ``"gather"``: row-gather from the (Ks, Q) LUT (each gather fetches one
+      contiguous Q-row). The one-hot matmul's FLOPs scale linearly with Ks
+      while the gather count does not, so at the reference driver's Ks=2^13
+      (offline.py:116) gathers win despite the scalar unit.
+    - ``"auto"`` (default): onehot for Ks <= LARGE_KS, else gather — the
+      measured crossover (BASELINE.md).
     """
     N, M = codes.shape
     Q = queries.shape[0]
     Ks = codebook.codewords.shape[1]
     k = min(k, N)
+    if method == "auto":
+        method = "onehot" if Ks <= LARGE_KS else "gather"
     dt = pq_dist_table(codebook, queries)  # (Q, M, Ks)
 
     chunk = max(128, min(chunk, ((N + 127) // 128) * 128))
@@ -161,27 +218,23 @@ def pq_search(
     def one_chunk(inp):
         code_tile, cidx = inp  # (chunk, M)
 
-        if method == "onehot":
-            def add_m(m, acc):
-                cm = jax.lax.dynamic_index_in_dim(code_tile, m, 1, keepdims=False)
+        def add_m(m, acc):
+            cm = jax.lax.dynamic_index_in_dim(code_tile, m, 1, keepdims=False)
+            lut_m = jax.lax.dynamic_index_in_dim(dt_t, m, 0, keepdims=False)
+            if method == "onehot":
                 # f32 one-hot keeps the lookup exact (rows are exact 0/1)
                 oh = jax.nn.one_hot(cm, Ks, dtype=jnp.float32)    # (chunk, Ks)
-                lut_m = jax.lax.dynamic_index_in_dim(dt_t, m, 0, keepdims=False)
                 return acc + jax.lax.dot_general(
                     oh, lut_m,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (chunk, Q)
+            # row-gather: each index fetches one contiguous (Q,) LUT row
+            return acc + jnp.take(lut_m, cm.astype(jnp.int32), axis=0)
 
-            d = jax.lax.fori_loop(
-                0, M, add_m, jnp.zeros((chunk, Q), jnp.float32)
-            ).T  # (Q, chunk)
-        else:
-            def add_m(m, acc):
-                cm = jax.lax.dynamic_index_in_dim(code_tile, m, 1, keepdims=False)
-                return acc + jnp.take(dt[:, m, :], cm.astype(jnp.int32), axis=1)
-
-            d = jax.lax.fori_loop(0, M, add_m, jnp.zeros((Q, chunk), jnp.float32))
+        d = jax.lax.fori_loop(
+            0, M, add_m, jnp.zeros((chunk, Q), jnp.float32)
+        ).T  # (Q, chunk)
 
         s = -d
         gidx = row_iota + cidx * chunk

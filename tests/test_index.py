@@ -102,6 +102,65 @@ class TestPQ:
         assert top10_in_50 > 0.8, top10_in_50
 
 
+class TestPQLargeKs:
+    """The reference driver's operating point is Ks=2^13 (offline.py:109,116);
+    these cover the >256-codeword regime: uint16 codes, the gather ADC path,
+    subsampled bf16 training, and the k-adaptive k-means chunking."""
+
+    def test_encode_dtype_by_ks(self):
+        x = clustered(600, 16)
+        cb_small = pq_ops.pq_train(jnp.asarray(x), M=4, Ks=16, iters=3)
+        assert pq_ops.pq_encode(cb_small, jnp.asarray(x)).dtype == jnp.uint8
+        cb_big = pq_ops.pq_train(jnp.asarray(x), M=4, Ks=512, iters=3)
+        assert pq_ops.pq_encode(cb_big, jnp.asarray(x)).dtype == jnp.uint16
+
+    def test_gather_matches_onehot(self):
+        x = clustered(900, 32, k=40)
+        q = clustered(6, 32, seed=5)
+        cb = pq_ops.pq_train(jnp.asarray(x), M=8, Ks=512, iters=4)
+        codes = pq_ops.pq_encode(cb, jnp.asarray(x))
+        s1, i1 = pq_ops.pq_search(cb, codes, jnp.asarray(q), 10, chunk=256,
+                                  method="onehot")
+        s2, i2 = pq_ops.pq_search(cb, codes, jnp.asarray(q), 10, chunk=256,
+                                  method="gather")
+        s3, i3 = pq_ops.pq_search(cb, codes, jnp.asarray(q), 10, chunk=256,
+                                  method="auto")  # auto -> onehot at Ks=512
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i3))
+
+    def test_subsampled_bf16_training_still_quantizes(self):
+        x = clustered(2000, 32, k=50)
+        cb = pq_ops.pq_train(
+            jnp.asarray(x), M=8, Ks=64, iters=5,
+            train_sample=800, matmul_dtype=jnp.bfloat16,
+        )
+        codes = pq_ops.pq_encode(cb, jnp.asarray(x), matmul_dtype=jnp.bfloat16)
+        recon = np.asarray(pq_ops.pq_decode(cb, codes))
+        err = np.linalg.norm(recon - x, axis=1).mean()
+        assert err < 0.5, err
+
+    def test_kmeans_chunk_shrinks_with_k(self):
+        # force the ASSIGN_BUDGET clamp: chunk would be > budget // k otherwise
+        from image_search_engine_for_historical_research_tpu.ops import kmeans as km
+        x = jnp.asarray(clustered(700, 8, k=12))
+        c, a = kmeans_fit(x, 12, iters=8, chunk=km.ASSIGN_BUDGET)
+        d = np.linalg.norm(np.asarray(x) - np.asarray(c)[np.asarray(a)], axis=1)
+        assert d.mean() < 0.6
+
+    def test_matcher_clamps_ks_to_fixture(self, tmp_path):
+        from image_search_engine_for_historical_research_tpu.index.matchers import (
+            _clamp_ks, matching_Nano_PQ,
+        )
+        assert _clamp_ks(2 ** 13, 1_000_000) == 2 ** 13
+        assert _clamp_ks(2 ** 13, 300) == 256
+        x = clustered(200, 32, k=10)
+        idx, _ = matching_Nano_PQ(
+            5, x, x[:3], dataset="fixture", outputs=str(tmp_path), warmup=False
+        )
+        assert idx.shape == (3, 5)
+
+
 class TestIVFPQ:
     def test_full_probe_matches_pq_quality(self):
         x = clustered(1200, 32, k=30)
