@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import os
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..data import configdataset, save_path_feature
@@ -28,6 +29,9 @@ def build_parser():
     p.add_argument("--limit", type=int, default=0, help="cap image count (debug)")
     p.add_argument("--mesh", action="store_true",
                    help="shard extraction batches over all local devices")
+    p.add_argument("--bf16", action="store_true",
+                   help="run the conv stack in bfloat16 (MXU fast path; "
+                        "descriptors agree with f32 to ~1e-3 cosine)")
     return p
 
 
@@ -47,11 +51,17 @@ def main(argv=None):
         from ..parallel import data_mesh
 
         mesh = data_mesh()
-        fn = make_sharded_extract_fn(model.module, mesh, scales=scales)
+        fn = make_sharded_extract_fn(
+            model.module, mesh, scales=scales,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        )
         if args.batch_size % len(jax.devices()):
             raise SystemExit("--batch-size must divide evenly across devices")
     else:
-        fn = make_extract_fn(model.module, scales=scales)
+        fn = make_extract_fn(
+            model.module, scales=scales,
+            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        )
 
     ckpt = os.path.join(args.outputs, f"{args.dataset}_partial.npz")
     start = 0

@@ -44,20 +44,28 @@ def multiscale_descriptor(
     mask: Optional[jnp.ndarray] = None,
     scales: Sequence[float] = DEFAULT_SCALES,
     msp: float = 1.0,
+    compute_dtype=None,
 ):
     """Multi-scale descriptor (extract_ms, imageretrievalnet.py:464-479).
 
     ``v = (mean_s net(resize(x, s))^msp)^(1/msp)``, L2-normalized. With a single
     scale of 1.0 this reduces to ``extract_ss`` (:461-462). Scales are unrolled at
     trace time: each scale is a static-shape forward.
+
+    ``compute_dtype`` casts the per-scale network input *after* the resize:
+    bilinear resize in bf16 is the slow path (measured 72 -> 47 img/s for the
+    3-scale forward when images were pre-cast).
     """
     acc = None
     for s in scales:
         xs = images if s == 1.0 else _resize_images(images, s)
+        if compute_dtype is not None:
+            xs = xs.astype(compute_dtype)
         ms = None
         if mask is not None:
             ms = mask if s == 1.0 else _resize_mask(mask, s)
         v = module.apply(variables, xs, ms)  # (B, D), already l2n'd
+        v = v.astype(jnp.float32)            # accumulate scales in f32
         v = jnp.power(v, msp) if msp != 1.0 else v
         acc = v if acc is None else acc + v
     acc = acc / len(scales)
@@ -66,18 +74,41 @@ def multiscale_descriptor(
     return l2n(acc, eps=0.0)  # reference divides by exact norm (:477)
 
 
-def make_extract_fn(module, scales: Sequence[float] = DEFAULT_SCALES, msp: float = 1.0):
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda p: p.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+        tree,
+    )
+
+
+def make_extract_fn(
+    module,
+    scales: Sequence[float] = DEFAULT_SCALES,
+    msp: float = 1.0,
+    compute_dtype=None,
+):
     """Jitted ``(variables, images, mask) -> (B, D)`` extraction function.
 
     One compilation per distinct padded input shape; callers bucket images into a
     small set of canvas shapes (see ``data.images.bucket_batches``).
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv/attention stack on the MXU
+    bf16 fast path (params and images cast at the jit boundary, descriptor
+    cast back to f32). Descriptor agreement vs f32 is ~1e-3 cosine
+    (tests/test_models.py); extraction is the reference's dominant compute
+    sink (extract_1m.py: "days" at 1M), so the ~2x matmul throughput matters.
     """
 
     @jax.jit
     def fn(variables, images, mask=None):
-        return multiscale_descriptor(
-            module, variables, images, mask, scales=tuple(scales), msp=msp
+        if compute_dtype is not None:
+            variables = _cast_floats(variables, compute_dtype)
+        v = multiscale_descriptor(
+            module, variables, images, mask, scales=tuple(scales), msp=msp,
+            compute_dtype=compute_dtype,
         )
+        return v.astype(jnp.float32)
 
     return fn
 
@@ -88,6 +119,7 @@ def make_sharded_extract_fn(
     scales: Sequence[float] = DEFAULT_SCALES,
     msp: float = 1.0,
     axis: str = "data",
+    compute_dtype=None,
 ):
     """Batch-sharded extraction over a device mesh.
 
@@ -107,9 +139,13 @@ def make_sharded_extract_fn(
         out_shardings=batch_sharded,
     )
     def fn(variables, images, mask):
-        return multiscale_descriptor(
-            module, variables, images, mask, scales=tuple(scales), msp=msp
+        if compute_dtype is not None:
+            variables = _cast_floats(variables, compute_dtype)
+        v = multiscale_descriptor(
+            module, variables, images, mask, scales=tuple(scales), msp=msp,
+            compute_dtype=compute_dtype,
         )
+        return v.astype(jnp.float32)
 
     return fn
 

@@ -1,0 +1,76 @@
+"""Diffusion offline build + online pass at the reference's regime boundary.
+
+The reference runs graph diffusion only below its 120k regime switch
+(Reranking.py:212: larger galleries get alphaQE only), so the honest
+"at-scale" diffusion number is N=120k — the largest gallery the semantics
+ever diffuse. Stages timed separately: Laplacian (self-kNN + mutual mask),
+the batched truncated-CG sweep, and the online query pass.
+
+Usage: python scripts/measure_diffusion.py --n 120000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from synth_data import clustered_db
+
+    from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+        build_diffusion_offline, diffusion_online_scores,
+    )
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=120_000)
+    p.add_argument("--d", type=int, default=2048)
+    p.add_argument("--q", type=int, default=70)
+    p.add_argument("--kd", type=int, default=50)
+    p.add_argument("--trunc", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=256)
+    args = p.parse_args()
+
+    db = clustered_db(jax.random.PRNGKey(0), args.n, args.d)
+    np.asarray(db[:1, :1])
+    queries = db[: args.q]
+
+    t0 = time.time()
+    off = build_diffusion_offline(
+        db, n_trunc=args.trunc, kd=args.kd, batch=args.batch,
+        allow_large=args.n > 120_000,
+    )
+    build_s = time.time() - t0
+    print(json.dumps({
+        "stage": "offline", "N": args.n, "kd": args.kd, "T": args.trunc,
+        "seconds": round(build_s, 1), "host_artifact": bool(off.on_host),
+    }), flush=True)
+
+    ids = jnp.asarray(off.trunc_ids)
+    sc = jnp.asarray(off.scores, jnp.float32)
+    t0 = time.time()
+    s = diffusion_online_scores(ids, sc, db, queries, k_query=3)
+    np.asarray(s[:1, :1])
+    t1 = time.time()
+    s = diffusion_online_scores(ids, sc, db, queries, k_query=3)
+    np.asarray(s[:1, :1])
+    t2 = time.time()
+    print(json.dumps({
+        "stage": "online", "Q": args.q,
+        "first_s": round(t1 - t0, 2),
+        "ms_per_query": round((t2 - t1) / args.q * 1e3, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,24 @@ class TestExtraction:
         v = fn(small_model.params, x)
         assert v.shape == (2, 2048)
 
+    def test_bf16_extract_matches_f32(self, small_model):
+        """compute_dtype=bfloat16 must agree with f32 to ~1e-3 cosine — the
+        threshold at which rOx/rPar mAP is unaffected (ranking shifts only
+        among near-ties)."""
+        f32 = models.make_extract_fn(small_model.module, scales=(1.0,))
+        bf16 = models.make_extract_fn(
+            small_model.module, scales=(1.0,), compute_dtype=jnp.bfloat16
+        )
+        x = jnp.asarray(
+            np.random.default_rng(11).standard_normal((3, 64, 96, 3)), jnp.float32
+        )
+        va, vb = np.asarray(f32(small_model.params, x)), np.asarray(
+            bf16(small_model.params, x)
+        )
+        assert vb.dtype == np.float32
+        cos = np.sum(va * vb, axis=1)  # both l2-normalized
+        assert np.all(cos > 0.999), cos
+
     def test_sharded_extract(self, small_model):
         mesh = jax.make_mesh((8,), ("data",))
         fn = models.make_sharded_extract_fn(small_model.module, mesh, scales=(1.0,))
