@@ -143,10 +143,13 @@ def matching_Nano_PQ(
 
 
 def matching_ANNOY(
-    K, train, test, metric="euclidean", dataset="default", n_trees=32,
-    leaf_size=128, ifgenerate=True, outputs="outputs", warmup=True,
+    K, train, test, metric="euclidean", dataset="default", n_trees=100,
+    leaf_size=512, ifgenerate=True, outputs="outputs", warmup=True,
 ):
-    """RP-forest, the ANNOY-class matcher (nnsearch.py:1016-1051)."""
+    """RP-forest, the ANNOY-class matcher (nnsearch.py:1016-1051).
+
+    Defaults follow the reference driver (offline.py:112: n_trees=100);
+    leaf_size=512 per the measured recall-vs-memory curve (BASELINE.md)."""
     q = normalize_rows(_as_rows(test))
     path = _artifact(dataset, "rpforest", outputs)
     index = _build_or_load(

@@ -129,12 +129,34 @@ class RPForestIndex:
     def n(self) -> int:
         return self.vectors.shape[0]
 
-    def search(self, queries, k: int, query_chunk: int = 16) -> Tuple:
-        """Descend all trees, union candidates, exact re-rank the union."""
+    def search(self, queries, k: int, query_chunk: Optional[int] = None) -> Tuple:
+        """Descend all trees, union candidates, exact re-rank the union.
+
+        Queries are processed in chunks: the vmapped candidate gather
+        materializes (chunk, n_trees * leaf_max, D) — 34 GB for 70 queries at
+        the 100-tree default — so the chunk adapts to keep that block under
+        ~1 GB."""
         q = normalize_rows(jnp.asarray(queries))
-        leaf = _descend(self.planes, self.thresholds, q, self.depth)  # (Q, T)
-        scores, idx = _rerank_candidates(self.vectors, self.leaf_items, leaf, q, k)
-        return scores, idx
+        Q = q.shape[0]
+        cand = self.leaf_items.shape[0] * self.leaf_items.shape[2]
+        if query_chunk is None:
+            query_chunk = max(1, (1 << 28) // max(cand * self.vectors.shape[1], 1))
+        pad = (-Q) % query_chunk  # pad so every chunk compiles to one shape
+        if pad:
+            q = jnp.concatenate([q, jnp.broadcast_to(q[:1], (pad, q.shape[1]))], 0)
+        out_s, out_i = [], []
+        for s in range(0, q.shape[0], query_chunk):
+            qc = q[s : s + query_chunk]
+            leaf = _descend(self.planes, self.thresholds, qc, self.depth)
+            sc, ix = _rerank_candidates(self.vectors, self.leaf_items, leaf, qc, k)
+            out_s.append(sc)
+            out_i.append(ix)
+        if len(out_s) == 1:
+            return out_s[0][:Q], out_i[0][:Q]
+        return (
+            jnp.concatenate(out_s, 0)[:Q],
+            jnp.concatenate(out_i, 0)[:Q],
+        )
 
     def to_arrays(self):
         return (
@@ -187,13 +209,19 @@ def _rerank_candidates(vectors, leaf_items, leaf, queries, k: int):
 
 def build_rpforest(
     vecs,
-    n_trees: int = 32,
-    leaf_size: int = 128,
+    n_trees: int = 100,
+    leaf_size: int = 512,
     seed: int = 42,
     normalize: bool = True,
 ) -> RPForestIndex:
-    """Build the forest entirely on device (reference: 100 Annoy trees,
-    nnsearch.py:1036-1041; recall here is governed by n_trees x leaf_size)."""
+    """Build the forest entirely on device.
+
+    Defaults follow the reference's Annoy config (100 trees, offline.py:112 /
+    nnsearch.py:1041). ``leaf_size`` is the TPU-side knob Annoy doesn't have:
+    the leaf-union re-rank is one MXU matmul, so large leaves buy recall
+    almost free — measured at 100k x 2048 (BASELINE.md): leaf 512 reaches
+    recall@10 = 0.98 with 64 trees at 159 MB where leaf 128 needs 562 MB for
+    0.89. Shallower trees also mean fewer plane rows (the memory hog)."""
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
         v = normalize_rows(v)
