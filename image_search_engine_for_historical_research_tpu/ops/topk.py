@@ -31,6 +31,9 @@ NEG_INF = -jnp.inf
 
 # score-matrix budget for the one-shot path (bytes of f32 scores)
 ONESHOT_SCORE_BYTES = 2 << 30
+# query-block rows for very large query batches (bounds the chunked-path
+# merge buffers: nchunks * QBLOCK * k * 8 bytes)
+QBLOCK = 8192
 
 
 def _pad_rows(x: jnp.ndarray, multiple: int):
@@ -81,10 +84,42 @@ def exact_topk(
     ``matmul_dtype=jnp.bfloat16`` halves HBM traffic with f32 accumulation;
     ``approximate=True`` uses the TPU-fused ``approx_max_k`` (MIPS bucketing) at
     the given recall target — ~top_k-cost removed from the critical path.
+
+    Very large query batches (the gallery self-kNN of diffusion: Q = N =
+    120k) are processed in ``QBLOCK``-row blocks via ``lax.map`` — otherwise
+    the chunked path's (nchunks, Q, k) merge buffers alone reach ~7 GB.
     """
     Q, D = queries.shape
     N = db.shape[0]
     k = min(k, N)
+
+    if Q > QBLOCK and Q * N * 4 > ONESHOT_SCORE_BYTES:
+        pad = (-Q) % QBLOCK
+        qp = (
+            jnp.concatenate([queries, jnp.zeros((pad, D), queries.dtype)], 0)
+            if pad else queries
+        )
+        blocks = qp.reshape(-1, QBLOCK, D)
+
+        def one_block(qb):
+            return _exact_topk_impl(
+                qb, db, k, metric, chunk, matmul_dtype, approximate,
+                recall_target,
+            )
+
+        s, i = jax.lax.map(one_block, blocks)
+        return s.reshape(-1, k)[:Q], i.reshape(-1, k)[:Q]
+
+    return _exact_topk_impl(
+        queries, db, k, metric, chunk, matmul_dtype, approximate, recall_target
+    )
+
+
+def _exact_topk_impl(
+    queries, db, k, metric, chunk, matmul_dtype, approximate, recall_target
+):
+    Q, D = queries.shape
+    N = db.shape[0]
 
     q = queries.astype(matmul_dtype) if matmul_dtype is not None else queries
 

@@ -87,3 +87,20 @@ def test_bfloat16_matmul_path_top1_agrees():
     ref = np.argsort(-(q @ db.T), axis=1)
     # bf16 scores reorder near-ties, but the top hit should be stable
     assert (np.asarray(idx16)[:, 0] == ref[:, 0]).mean() >= 0.85
+
+
+def test_query_block_path_matches_oracle(monkeypatch):
+    """Gallery-scale query batches (self-kNN at 120k) route through QBLOCK
+    blocking; force it small and check against the argsort oracle."""
+    import image_search_engine_for_historical_research_tpu.ops.topk as T
+
+    q, db = data(N=900, D=16, seed=7)
+    q = q[:850]
+    monkeypatch.setattr(T, "QBLOCK", 100)
+    monkeypatch.setattr(T, "ONESHOT_SCORE_BYTES", 1 << 14)
+    _, idx = T.exact_topk.__wrapped__(
+        jnp.asarray(q), jnp.asarray(db), 5, metric="ip", chunk=256,
+        matmul_dtype=None, approximate=False, recall_target=0.95,
+    )
+    ref = np.argsort(-(q @ db.T), axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(idx), ref)
