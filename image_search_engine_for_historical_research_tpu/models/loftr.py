@@ -22,6 +22,7 @@ vmapped ``dynamic_slice`` instead of ``F.unfold``.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Dict, Mapping, NamedTuple, Sequence, Tuple
 
 import jax
@@ -490,10 +491,15 @@ def init_matcher(
 
 
 def make_match_fn(module, variables):
-    """Jitted pair matcher: (img0, img1) -> MatchResult."""
+    """Jitted pair matcher: (img0, img1) -> MatchResult.
+
+    Weights travel as a bound argument (functools.partial over a jitted
+    function), not a closure capture: captured arrays are serialized into the
+    remote-compile payload (CLAUDE.md gotcha; the LoFTR checkpoint is
+    ~45 MB)."""
 
     @jax.jit
-    def fn(img0, img1):
-        return module.apply(variables, img0, img1)
+    def fn(vars_, img0, img1):
+        return module.apply(vars_, img0, img1)
 
-    return fn
+    return partial(fn, variables)

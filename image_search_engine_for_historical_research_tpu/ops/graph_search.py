@@ -169,30 +169,35 @@ def hnsw_search_batch(
         _, top = jax.lax.top_k(sims, n_seeds)
         seeds_all = coarse_ids[top]                    # (Q, n_seeds)
 
-    def factory(q):
-        def dist_to(ids):
-            v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
-            d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
-            return jnp.where(ids >= 0, d, INF)
+    # graph arrays are jit ARGUMENTS, not closure captures: captured arrays
+    # are embedded in the serialized module and the tunnel's remote compile
+    # uploads them at MB/s (GBs at 1M — the CLAUDE.md closure gotcha)
+    def run_all(queries, vectors, nbr0, nbru, seeds_all=None):
+        def factory(q):
+            def dist_to(ids):
+                v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
+                d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
+                return jnp.where(ids >= 0, d, INF)
 
-        return dist_to
+            return dist_to
 
-    search_one = make_hnsw_search(factory)
+        search_one = make_hnsw_search(factory)
+        if seeds_all is None:
+            return jax.vmap(
+                lambda q: search_one(
+                    q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
+                )
+            )(queries)
+        return jax.vmap(
+            lambda q, s: search_one(
+                q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, s
+            )
+        )(queries, seeds_all)
 
     if seeds_all is None:
-        @partial(jax.vmap, in_axes=(0,))
-        def run(q):
-            return search_one(q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N)
-
-        ids, scores = jax.jit(run)(queries)
+        ids, scores = jax.jit(run_all)(queries, vectors, nbr0, nbru)
     else:
-        @partial(jax.vmap, in_axes=(0, 0))
-        def run(q, seeds):
-            return search_one(
-                q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, seeds
-            )
-
-        ids, scores = jax.jit(run)(queries, seeds_all)
+        ids, scores = jax.jit(run_all)(queries, vectors, nbr0, nbru, seeds_all)
     return scores, ids
 
 
@@ -221,20 +226,23 @@ def hnsw_search_batch_pq(
         gathered = jax.vmap(lambda l, cm: l[cm], in_axes=(0, 1), out_axes=1)(lut, c)
         return jnp.sum(gathered, axis=1)
 
-    def factory(lut):
-        def dist_to(ids):
-            c = codes32[jnp.clip(ids, 0)]                 # (n, M)
-            return jnp.where(ids >= 0, _adc(lut, c), INF)
+    # codes/graph as jit arguments, not closure captures (CLAUDE.md gotcha)
+    def run_all(luts, codes32, nbr0, nbru):
+        def factory(lut):
+            def dist_to(ids):
+                c = codes32[jnp.clip(ids, 0)]             # (n, M)
+                return jnp.where(ids >= 0, _adc(lut, c), INF)
 
-        return dist_to
+            return dist_to
 
-    search_one = make_hnsw_search(factory)
+        search_one = make_hnsw_search(factory)
+        return jax.vmap(
+            lambda lut: search_one(
+                lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
+            )
+        )(luts)
 
-    @partial(jax.vmap, in_axes=(0,))
-    def run(lut):
-        return search_one(lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N)
-
-    ids, scores = jax.jit(run)(luts)
+    ids, scores = jax.jit(run_all)(luts, codes32, nbr0, nbru)
     return scores, ids
 
 
@@ -250,16 +258,19 @@ def hnsw_descend_entries(
     expensive part of the traversal.
     """
 
-    def one(q):
-        def dist_to(ids):
-            v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
-            d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
-            return jnp.where(ids >= 0, d, INF)
+    def run_all(queries, vectors, nbru):
+        def one(q):
+            def dist_to(ids):
+                v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
+                d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
+                return jnp.where(ids >= 0, d, INF)
 
-        point = jnp.int32(entry)
-        pd = dist_to(jnp.asarray([entry]))[0]
-        for l in range(nbru.shape[0] - 1, -1, -1):
-            point, pd = _greedy_descent(dist_to, nbru[l], point, pd)
-        return point
+            point = jnp.int32(entry)
+            pd = dist_to(jnp.asarray([entry]))[0]
+            for l in range(nbru.shape[0] - 1, -1, -1):
+                point, pd = _greedy_descent(dist_to, nbru[l], point, pd)
+            return point
 
-    return jax.jit(jax.vmap(one))(queries)
+        return jax.vmap(one)(queries)
+
+    return jax.jit(run_all)(queries, vectors, nbru)

@@ -149,6 +149,18 @@ def _batched_trunc_cg(lap_nbr, lap_val, trunc_ids):
     return jax.vmap(solve_one)(trunc_ids)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _knn_and_solve(rows, vecs, lap_nbr, lap_val, k):
+    """Fused per-batch self-kNN + truncated CG solve.
+
+    Module-level jit with the gallery/Laplacian as *arguments*: a closure
+    capturing them embeds ~1 GB of constants in the serialized module, which
+    the tunnel's remote compile uploads at MB/s (CLAUDE.md gotcha — measured
+    as a 20-minute stall ending in a broken pipe at 120k)."""
+    _, tids = exact_topk(rows, vecs, k, metric="ip")
+    return tids, _batched_trunc_cg(lap_nbr, lap_val, tids)
+
+
 def budget_trunc_size(
     n: int, n_trunc: int, memory_budget_bytes: int, score_bytes: int = 2
 ) -> int:
@@ -204,14 +216,11 @@ def build_diffusion_offline(
 
     lap_nbr, lap_val = _laplacian_rows(vecs, kd)
 
-    @partial(jax.jit, static_argnames=("k",))
-    def knn_and_solve(rows, k):
-        _, tids = exact_topk(rows, vecs, k, metric="ip")
-        return tids, _batched_trunc_cg(lap_nbr, lap_val, tids)
-
     ids_out, sc_out = [], []
     for start in range(0, N, batch):
-        tids, sc = knn_and_solve(vecs[start : start + batch], T)
+        tids, sc = _knn_and_solve(
+            vecs[start : start + batch], vecs, lap_nbr, lap_val, T
+        )
         if host_out:
             ids_out.append(np.asarray(tids, np.int32))
             sc_out.append(np.asarray(sc).astype(score_dtype))
