@@ -50,10 +50,25 @@ def feature_enhancement(
     return q, r
 
 
-def qge1(ranks, qvecs, vecs, k: int = 3, w: float = 4.0):
-    """Single-iteration serving-path enhancement (Reranking.py:287-306)."""
-    _, r = feature_enhancement(qvecs, vecs, ranks, k=k, w=w, iterations=1)
-    return r
+def qge1(ranks, qvecs, vecs, k: int = 3, w: float = 4.0, out_k: int = None):
+    """Single-iteration serving-path enhancement (Reranking.py:287-306).
+
+    ``out_k`` returns only the top-``out_k`` re-ranked ids via ``lax.top_k``
+    instead of a full argsort — the serving path never needs the complete
+    permutation, and a 1M-row argsort per request is measurable latency."""
+    if out_k is None:
+        _, r = feature_enhancement(qvecs, vecs, ranks, k=k, w=w, iterations=1)
+        return r
+    return _qge1_topk(ranks, qvecs, vecs, k, w, out_k)
+
+
+@partial(jax.jit, static_argnames=("k", "out_k"))
+def _qge1_topk(ranks, qvecs, vecs, k, w, out_k):
+    weights = ((jnp.arange(k, 0, -1) / k) ** w)[None, :, None]
+    top = vecs[ranks[:, :k]]
+    q = l2n(jnp.sum(top * weights, axis=1))
+    scores = exact_scores(q, vecs)
+    return jax.lax.top_k(scores, out_k)[1]
 
 
 def _centered_normalized(a: jnp.ndarray, b: jnp.ndarray):

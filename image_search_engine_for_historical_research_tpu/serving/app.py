@@ -40,6 +40,8 @@ class SearchService:
         image_size: int = 1024,
         rerank: bool = True,
     ):
+        import jax.numpy as jnp
+
         self.model = model
         self.index = index
         self.vecs = np.asarray(gallery_vecs, np.float32)
@@ -49,6 +51,10 @@ class SearchService:
         self.image_size = image_size
         self.rerank = rerank
         self._extract_fn = make_extract_fn(model.module, scales=self.scales)
+        # device-resident gallery ONCE at startup: jnp.asarray per request
+        # would re-upload the full matrix every query (8 GB at 1M through
+        # the tunnel)
+        self._vecs_dev = jnp.asarray(self.vecs)
 
     def query_image(self, image_path: str) -> Tuple[List[dict], dict]:
         """Full serving path; returns (results, timing dict)."""
@@ -64,9 +70,10 @@ class SearchService:
         t2 = time.time()
         idx = np.asarray(idx)
         if self.rerank:
-            # seed full ranks with the index shortlist then one qge1 iteration
+            # seed with the index shortlist, one qge1 iteration, top-K out
             ranks = qge1(jnp.asarray(idx), jnp.asarray(qvec[None, :]),
-                         jnp.asarray(self.vecs), k=min(3, idx.shape[1]))
+                         self._vecs_dev, k=min(3, idx.shape[1]),
+                         out_k=min(self.K, self.vecs.shape[0]))
             final = np.asarray(ranks)[0, : self.K]
         else:
             final = idx[0]
