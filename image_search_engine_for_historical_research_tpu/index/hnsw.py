@@ -169,6 +169,7 @@ class HNSWPQIndex:
     group_offsets: np.ndarray  # (U+1,) member ranges into group_members
     group_members: np.ndarray  # (N,) image ids grouped by unique code
     ef_default: int = 100
+    coarse_ids: Optional[jnp.ndarray] = None  # upper-level members (ADC seeds)
 
     @property
     def n(self) -> int:
@@ -189,6 +190,7 @@ class HNSWPQIndex:
         scores_u, idx_u = hnsw_search_batch_pq(
             self.unique_codes, self.codewords, self.nbr0, self.nbru, self.entry,
             q, k_unique, ef or max(self.ef_default, k_unique),
+            coarse_ids=self.coarse_ids,
         )
         idx_u = np.asarray(idx_u)
         scores_u = np.asarray(scores_u, np.float32)
@@ -225,17 +227,17 @@ class HNSWPQIndex:
         return jnp.asarray(out_scores), jnp.asarray(out_idx)
 
     def to_arrays(self):
-        return (
-            {"entry": self.entry, "ef_default": self.ef_default},
-            {
-                "codewords": np.asarray(self.codewords, np.float32),
-                "unique_codes": np.asarray(self.unique_codes),
-                "nbr0": np.asarray(self.nbr0, np.int32),
-                "nbru": np.asarray(self.nbru, np.int32),
-                "group_offsets": np.asarray(self.group_offsets, np.int64),
-                "group_members": np.asarray(self.group_members, np.int32),
-            },
-        )
+        arrays = {
+            "codewords": np.asarray(self.codewords, np.float32),
+            "unique_codes": np.asarray(self.unique_codes),
+            "nbr0": np.asarray(self.nbr0, np.int32),
+            "nbru": np.asarray(self.nbru, np.int32),
+            "group_offsets": np.asarray(self.group_offsets, np.int64),
+            "group_members": np.asarray(self.group_members, np.int32),
+        }
+        if self.coarse_ids is not None:
+            arrays["coarse_ids"] = np.asarray(self.coarse_ids, np.int32)
+        return {"entry": self.entry, "ef_default": self.ef_default}, arrays
 
     @classmethod
     def from_arrays(cls, meta, arrays):
@@ -248,6 +250,9 @@ class HNSWPQIndex:
             group_offsets=np.asarray(arrays["group_offsets"]),
             group_members=np.asarray(arrays["group_members"]),
             ef_default=int(meta.get("ef_default", 100)),
+            coarse_ids=(
+                jnp.asarray(arrays["coarse_ids"]) if "coarse_ids" in arrays else None
+            ),
         )
 
 
@@ -262,13 +267,18 @@ def build_hnsw_pq(
     seed: int = 42,
     normalize: bool = True,
     train_sample: Optional[int] = None,
+    builder: str = "auto",
 ) -> HNSWPQIndex:
     """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683).
 
     The reference driver's operating point is Ks=2^13 (offline.py:116,
     ``N_words=2**13``); at that codebook size nearly every database row gets a
     unique code, so the graph covers ~N nodes and the build cost approaches
-    plain HNSW over the decoded vectors (see BASELINE.md regime table)."""
+    plain HNSW over the decoded vectors. ``builder``: ``"native"`` (C++
+    insert, exact HNSW semantics), ``"tpu"`` (kNN-graph + device pruning —
+    minutes at 1M where the single-thread insert is hours), or ``"auto"``
+    (tpu above 32k unique codes: measured 31 min native vs ~2 min TPU at
+    162k unique, BASELINE.md)."""
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
         v = normalize_rows(v)
@@ -283,13 +293,43 @@ def build_hnsw_pq(
     members = order.astype(np.int32)
 
     # graph distances between codes = distances between decoded vectors
-    decoded = np.asarray(pq_decode(cb, jnp.asarray(unique)))
     m0 = m0 or 2 * m
-    nbr0, nbru, levels, entry, top = _build_graph(
-        decoded, m, m0, ef_construction, seed
-    )
+    U = unique.shape[0]
+    if builder == "auto":
+        builder = "tpu" if U > 32_768 else "native"
+    codewords = cb.codewords
+    del v, cb  # free the 8 GB device gallery before materializing decodes
+    if builder == "tpu":
+        from .graph_build import build_hnsw_graph_tpu
+
+        # chunked on-device decode straight to bf16 (a full f32 decode is
+        # 8 GB at 1M unique codes)
+        uq = jnp.asarray(unique)
+        step = 131072
+        decoded_dev = jnp.concatenate([
+            pq_decode(PQCodebook(codewords), uq[s : s + step]).astype(
+                jnp.bfloat16
+            )
+            for s in range(0, U, step)
+        ], axis=0)
+        nbr0, nbru, levels, entry, top = build_hnsw_graph_tpu(
+            decoded_dev, m=m, m0=m0, seed=seed
+        )
+    else:
+        # host-side numpy decode: np.asarray of a device decode would pull
+        # GBs through the MB/s tunnel (CLAUDE.md gotcha)
+        cw = np.asarray(codewords)                      # (M, Ks, ds) small
+        M_, _, ds = cw.shape
+        decoded = cw[np.arange(M_)[None, :], unique.astype(np.int64), :]
+        decoded = np.ascontiguousarray(
+            decoded.reshape(U, M_ * ds), np.float32
+        )
+        nbr0, nbru, levels, entry, top = _build_graph(
+            decoded, m, m0, ef_construction, seed
+        )
+    coarse = np.where(levels >= 1)[0].astype(np.int32)
     return HNSWPQIndex(
-        codewords=cb.codewords,
+        codewords=codewords,
         unique_codes=jnp.asarray(unique),
         nbr0=jnp.asarray(nbr0),
         nbru=jnp.asarray(nbru),
@@ -297,4 +337,5 @@ def build_hnsw_pq(
         group_offsets=offsets,
         group_members=members,
         ef_default=max(ef_construction, 16),
+        coarse_ids=jnp.asarray(coarse) if len(coarse) else None,
     )

@@ -66,7 +66,10 @@ def _beam_search_l0(dist_to, nbr0, entries, entry_ds, N, ef, max_steps):
     beam_ids = jnp.full((ef,), -1, jnp.int32).at[:S].set(entries)
     beam_d = jnp.full((ef,), INF, jnp.float32).at[:S].set(entry_ds)
     expanded = jnp.zeros((ef,), bool)
-    visited = jnp.zeros((N,), bool).at[entries].set(True)
+    # -1 (masked duplicate) entries redirect to entries[0], which is always
+    # a real node and already visited — a raw -1 index would wrap to N-1
+    safe_entries = jnp.where(entries >= 0, entries, entries[0])
+    visited = jnp.zeros((N,), bool).at[safe_entries].set(True)
 
     def cond(state):
         beam_ids, beam_d, expanded, visited, steps = state
@@ -128,7 +131,13 @@ def make_hnsw_search(node_dist_factory: Callable):
             entry_ds = jnp.asarray([pd])
         else:
             entries = jnp.concatenate([jnp.asarray([point]), seeds])
-            entry_ds = dist_to(entries)
+            # mask duplicate entries (the descent point is frequently also a
+            # seed): a duplicated id would occupy two beam slots and surface
+            # twice in the results
+            eq = entries[:, None] == entries[None, :]
+            dup = jnp.any(jnp.tril(eq, -1), axis=1)
+            entries = jnp.where(dup, -1, entries)
+            entry_ds = jnp.where(dup, INF, dist_to(entries))
         beam_ids, beam_d = _beam_search_l0(
             dist_to, nbr0, entries, entry_ds, N, ef, max_steps
         )
@@ -211,8 +220,15 @@ def hnsw_search_batch_pq(
     k: int,
     ef: int,
     max_steps: int = 0,
+    coarse_ids: jnp.ndarray = None,
+    n_seeds: int = 4,
 ):
-    """ADC-distance batched HNSW search over PQ codes (nnsearch.py:352-406)."""
+    """ADC-distance batched HNSW search over PQ codes (nnsearch.py:352-406).
+
+    ``coarse_ids`` (upper-level member ids) enables multi-seed entry like the
+    raw-vector variant: one batched ADC scan over the coarse nodes seeds the
+    beam — without it, TPU-built graphs' greedy descent lands in wrong basins
+    (measured P@1 0.6 vs 1.0 on clustered fixtures)."""
     from .pq import PQCodebook, pq_dist_table
 
     N, M = codes.shape
@@ -226,8 +242,20 @@ def hnsw_search_batch_pq(
         gathered = jax.vmap(lambda l, cm: l[cm], in_axes=(0, 1), out_axes=1)(lut, c)
         return jnp.sum(gathered, axis=1)
 
+    seeds_all = None
+    if coarse_ids is not None and coarse_ids.shape[0] > 0:
+        ns = min(n_seeds, coarse_ids.shape[0])
+
+        def coarse_seeds(luts, codes32, coarse_ids):
+            cc = codes32[coarse_ids]                      # (C, M)
+            dc = jax.vmap(lambda lut: _adc(lut, cc))(luts)  # (Q, C)
+            _, top = jax.lax.top_k(-dc, ns)
+            return coarse_ids[top]
+
+        seeds_all = jax.jit(coarse_seeds)(luts, codes32, coarse_ids)
+
     # codes/graph as jit arguments, not closure captures (CLAUDE.md gotcha)
-    def run_all(luts, codes32, nbr0, nbru):
+    def run_all(luts, codes32, nbr0, nbru, seeds_all=None):
         def factory(lut):
             def dist_to(ids):
                 c = codes32[jnp.clip(ids, 0)]             # (n, M)
@@ -236,13 +264,22 @@ def hnsw_search_batch_pq(
             return dist_to
 
         search_one = make_hnsw_search(factory)
+        if seeds_all is None:
+            return jax.vmap(
+                lambda lut: search_one(
+                    lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
+                )
+            )(luts)
         return jax.vmap(
-            lambda lut: search_one(
-                lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
+            lambda lut, s: search_one(
+                lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, s
             )
-        )(luts)
+        )(luts, seeds_all)
 
-    ids, scores = jax.jit(run_all)(luts, codes32, nbr0, nbru)
+    if seeds_all is None:
+        ids, scores = jax.jit(run_all)(luts, codes32, nbr0, nbru)
+    else:
+        ids, scores = jax.jit(run_all)(luts, codes32, nbr0, nbru, seeds_all)
     return scores, ids
 
 

@@ -1,0 +1,80 @@
+"""PQ_HNSW at the reference driver config, 1M scale: build + search + recall.
+
+offline.py:116 runs matching_HNSW_NanoPQ with N_books=16, N_words=2**13,
+m=16, ef=100. At Ks=2^13 nearly every row is a unique code, so the graph
+covers ~N nodes; the TPU graph builder replaces the single-thread C++ insert
+(hours at 1M). Reports build stage times, per-query search latency through
+the public index search (includes the host-side group expansion), and
+shortlist recall vs the exact scan.
+
+Usage: python scripts/measure_pq_hnsw.py --n 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from synth_data import clustered_db
+
+    from image_search_engine_for_historical_research_tpu.index.hnsw import (
+        build_hnsw_pq,
+    )
+    from image_search_engine_for_historical_research_tpu.ops.topk import exact_topk
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--q", type=int, default=70)
+    p.add_argument("--ks", type=int, default=2 ** 13)
+    args = p.parse_args()
+
+    db = clustered_db(jax.random.PRNGKey(1), args.n, 2048)
+    np.asarray(db[:1, :1])
+    queries = db[: args.q]
+    _, i_ex = exact_topk(queries, db, 100, matmul_dtype=jnp.bfloat16)
+    i_ex = np.asarray(i_ex)
+
+    t0 = time.time()
+    ix = build_hnsw_pq(db, M=16, Ks=args.ks, m=16, normalize=False)
+    build_s = time.time() - t0
+    print(json.dumps({
+        "stage": "build", "N": args.n, "Ks": args.ks,
+        "unique_codes": int(ix.unique_codes.shape[0]),
+        "seconds": round(build_s, 1),
+    }), flush=True)
+
+    t0 = time.time()
+    s, ids = ix.search(queries, 100)
+    ids = np.asarray(ids)
+    t1 = time.time()
+    s, ids2 = ix.search(queries, 100)
+    np.asarray(ids2)
+    t2 = time.time()
+    r10 = float(np.mean([
+        len(set(i_ex[i, :10]) & set(ids[i, :10])) / 10 for i in range(args.q)
+    ]))
+    r100 = float(np.mean([
+        len(set(i_ex[i, :100]) & set(ids[i, :100])) / 100 for i in range(args.q)
+    ]))
+    print(json.dumps({
+        "stage": "search", "Q": args.q,
+        "first_s": round(t1 - t0, 1),
+        "ms_per_query": round((t2 - t1) / args.q * 1e3, 2),
+        "recall10": round(r10, 3), "recall100": round(r100, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,23 @@ class TestHNSWPQ:
         hit = np.mean([top1[i] in idx[i] for i in range(15)])
         assert hit > 0.7, hit
 
+    def test_tpu_builder_with_adc_seeds_matches_native_quality(self):
+        """TPU-built graphs need the ADC multi-seed entry: greedy descent
+        alone lands in wrong basins (P@1 0.6 vs 1.0 measured)."""
+        rng = np.random.default_rng(6)
+        centers = rng.standard_normal((25, 48)).astype(np.float32)
+        lab = np.repeat(np.arange(25), 80)
+        x = centers[lab] + 0.25 * rng.standard_normal((2000, 48)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q = centers + 0.25 * rng.standard_normal((25, 48)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        for b in ("native", "tpu"):
+            ix = build_hnsw_pq(x, M=8, Ks=256, m=8, builder=b)
+            assert ix.coarse_ids is not None
+            _, i = ix.search(q, 20)
+            p1 = np.mean(lab[np.asarray(i)[:, 0]] == np.arange(25))
+            assert p1 >= 0.9, (b, p1)
+
     def test_save_load(self, data, tmp_path):
         x, q, _ = data
         ix = build_hnsw_pq(x, M=4, Ks=16, m=4, ef_construction=16)
