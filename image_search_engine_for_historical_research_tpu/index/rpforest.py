@@ -60,7 +60,21 @@ def _median_split_level(x, seg_id, n_segs, key):
         degenerate, jax.random.normal(k2, planes.shape, planes.dtype), planes
     )
 
-    proj = jnp.sum(x * planes[seg_id], axis=1)    # (N,)
+    # chunked projection: planes[seg_id] materialized whole is an (N, D)
+    # gather — 8 GB at 1M x 2048, alongside the database itself (OOM)
+    chunk = min(131072, N)
+    nch = -(-N // chunk)
+
+    def _proj_chunk(i, out):
+        start = jnp.minimum(i * chunk, N - chunk)
+        xc = jax.lax.dynamic_slice_in_dim(x, start, chunk, 0)
+        sc = jax.lax.dynamic_slice_in_dim(seg_id, start, chunk, 0)
+        pc = jnp.sum(xc * planes[sc], axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(out, pc, start, 0)
+
+    proj = jax.lax.fori_loop(
+        0, nch, _proj_chunk, jnp.zeros((N,), jnp.float32)
+    )                                             # (N,)
 
     # per-segment median: rank items within segment by projection
     order = jnp.lexsort((proj, seg_id))           # sort by (seg, proj)
@@ -234,7 +248,11 @@ def build_rpforest(
     for t in range(n_trees):
         key, sub = jax.random.split(key)
         planes, thr, leaf_assign = _build_tree(v, depth, sub)
-        planes_l.append(planes)
+        # bf16 plane storage: at 1M x 2048 with 100 trees the f32 planes are
+        # 1.7 GB and the final jnp.stack transiently doubles that next to the
+        # 8 GB gallery (OOM). Split decisions only compare a projection to a
+        # threshold; bf16 rounding flips only points already on the boundary
+        planes_l.append(planes.astype(jnp.bfloat16))
         thr_l.append(thr)
         assign_l.append(np.asarray(leaf_assign))
 
