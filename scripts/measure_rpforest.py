@@ -53,6 +53,10 @@ def main():
         build_s = time.time() - t0
         _, ids = ix.search(queries, 100)
         ids = np.asarray(ids)
+        t1 = time.time()
+        _, ids2 = ix.search(queries, 100)
+        np.asarray(ids2)
+        search_ms = (time.time() - t1) / args.q * 1e3
         r10 = float(np.mean([
             len(set(i_ex[i, :10]) & set(ids[i, :10])) / 10
             for i in range(args.q)
@@ -67,6 +71,7 @@ def main():
         print(json.dumps({
             "N": args.n, "trees": t, "leaf": args.leaf,
             "build_s": round(build_s, 1),
+            "search_ms_per_query": round(search_ms, 2),
             "recall10": round(r10, 3), "recall100": round(r100, 3),
             "index_mb": round(mem / 1e6, 1),
         }), flush=True)
