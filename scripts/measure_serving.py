@@ -42,9 +42,7 @@ def main():
         DEFAULT_SCALES, multiscale_descriptor,
     )
     from image_search_engine_for_historical_research_tpu.ops.topk import exact_topk
-    from image_search_engine_for_historical_research_tpu.rerank.qe import (
-        feature_enhancement,
-    )
+    from image_search_engine_for_historical_research_tpu.rerank.qe import qge1
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n", type=int, default=1_000_000)
@@ -64,9 +62,9 @@ def main():
         def serve(params, img, vecs, scales=scales):
             desc = multiscale_descriptor(model.module, params, img, scales=scales)
             _, ranks0 = exact_topk(desc, vecs, 10, matmul_dtype=jnp.bfloat16)
-            # reference large-gallery regime: k=3, one iteration (:273-280)
-            _, r = feature_enhancement(desc, vecs, ranks0, k=3, iterations=1)
-            return r[:, : args.k]
+            # reference large-gallery regime: k=3, one iteration (:273-280);
+            # out_k top-k instead of a full 1M argsort (serving returns top-K)
+            return qge1(ranks0, desc, vecs, k=3, out_k=args.k)
 
         def make_loop(R):
             @jax.jit
