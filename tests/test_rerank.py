@@ -57,6 +57,20 @@ class TestFeatureEnhancement:
         )
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
+    def test_qge1_out_k_matches_full_argsort_head(self):
+        """The serving path's top-K tail must agree with the full ranking."""
+        q, g, _ = retrieval_problem(seed=3)
+        ranks0 = np.asarray(exact_ranks(jnp.asarray(q), jnp.asarray(g)))
+        full = np.asarray(
+            rerank.qge1(jnp.asarray(ranks0), jnp.asarray(q), jnp.asarray(g))
+        )
+        topk = np.asarray(
+            rerank.qge1(
+                jnp.asarray(ranks0), jnp.asarray(q), jnp.asarray(g), out_k=7
+            )
+        )
+        np.testing.assert_array_equal(topk, full[:, :7])
+
 
 class TestAQEDBA:
     def test_aqe_improves_or_holds(self):
