@@ -111,7 +111,7 @@ def build_hnsw_graph_tpu(
     vectors: jnp.ndarray,
     m: int = 16,
     m0: Optional[int] = None,
-    k_candidates: int = 64,
+    k_candidates: int = 96,
     max_levels: int = 6,
     seed: int = 42,
     batch: int = 4096,
@@ -215,7 +215,7 @@ def build_hnsw_tpu(
     vecs,
     m: int = 16,
     m0: Optional[int] = None,
-    k_candidates: int = 64,
+    k_candidates: int = 96,
     seed: int = 42,
     normalize: bool = True,
     batch: int = 4096,

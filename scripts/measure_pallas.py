@@ -57,6 +57,8 @@ def main():
     p.add_argument("--skip-exact", action="store_true",
                    help="skip the exact-scan timing comparison (each jit "
                         "variant costs ~35 s of tunnel compile)")
+    p.add_argument("--k-candidates", type=int, default=64,
+                   help="builder kNN candidate count (graph quality knob)")
     args = p.parse_args()
 
     from synth_data import clustered_db
@@ -67,7 +69,9 @@ def main():
     _force(db)
 
     t0 = time.perf_counter()
-    ix = build_hnsw_tpu(db, m=16, normalize=False)
+    ix = build_hnsw_tpu(
+        db, m=16, normalize=False, k_candidates=args.k_candidates
+    )
     build_s = time.perf_counter() - t0
     print(json.dumps({"stage": "build", "N": args.n, "seconds": round(build_s, 1)}),
           flush=True)
