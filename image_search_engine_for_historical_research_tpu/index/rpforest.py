@@ -152,9 +152,16 @@ class RPForestIndex:
         ~1 GB."""
         q = normalize_rows(jnp.asarray(queries))
         Q = q.shape[0]
+        if Q == 0:
+            return (
+                jnp.zeros((0, k), jnp.float32),
+                jnp.zeros((0, k), jnp.int32),
+            )
         cand = self.leaf_items.shape[0] * self.leaf_items.shape[2]
         if query_chunk is None:
-            query_chunk = max(1, (1 << 28) // max(cand * self.vectors.shape[1], 1))
+            # floor at 8: a chunk of 1 would pay the ~33 ms tunnel round-trip
+            # per query; 8 amortizes dispatch while capping the gather block
+            query_chunk = max(8, (1 << 28) // max(cand * self.vectors.shape[1], 1))
         pad = (-Q) % query_chunk  # pad so every chunk compiles to one shape
         if pad:
             q = jnp.concatenate([q, jnp.broadcast_to(q[:1], (pad, q.shape[1]))], 0)
@@ -173,11 +180,19 @@ class RPForestIndex:
         )
 
     def to_arrays(self):
+        # planes persist as a uint16 bit-cast of their bfloat16 storage: an
+        # f32 save would re-inflate the deliberately-compressed plane memory
+        # (~1.7 GB at the 1M/100-tree config) on every load
+        planes_u16 = np.asarray(
+            jax.lax.bitcast_convert_type(
+                self.planes.astype(jnp.bfloat16), jnp.uint16
+            )
+        )
         return (
             {"depth": self.depth},
             {
                 "vectors": np.asarray(self.vectors, np.float32),
-                "planes": np.asarray(self.planes, np.float32),
+                "planes_bf16": planes_u16,
                 "thresholds": np.asarray(self.thresholds, np.float32),
                 "leaf_items": np.asarray(self.leaf_items, np.int32),
             },
@@ -185,9 +200,15 @@ class RPForestIndex:
 
     @classmethod
     def from_arrays(cls, meta, arrays):
+        if "planes_bf16" in arrays:
+            planes = jax.lax.bitcast_convert_type(
+                jnp.asarray(arrays["planes_bf16"]), jnp.bfloat16
+            )
+        else:  # legacy f32 saves
+            planes = jnp.asarray(arrays["planes"]).astype(jnp.bfloat16)
         return cls(
             vectors=jnp.asarray(arrays["vectors"]),
-            planes=jnp.asarray(arrays["planes"]),
+            planes=planes,
             thresholds=jnp.asarray(arrays["thresholds"]),
             leaf_items=jnp.asarray(arrays["leaf_items"]),
             depth=int(meta["depth"]),

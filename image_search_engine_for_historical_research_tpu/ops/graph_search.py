@@ -28,6 +28,12 @@ import jax.numpy as jnp
 INF = jnp.inf
 
 
+def _adc(lut, c):
+    # lut (M, Ks), c (n, M) -> (n,): sum_m lut[m, c[:, m]]
+    gathered = jax.vmap(lambda l, cm: l[cm], in_axes=(0, 1), out_axes=1)(lut, c)
+    return jnp.sum(gathered, axis=1)
+
+
 def _greedy_descent(dist_to, nbrs, point, pd):
     """Greedy best-neighbor descent on one layer (nnsearch.py:294-319).
 
@@ -172,42 +178,58 @@ def hnsw_search_batch(
 
     seeds_all = None
     if coarse_ids is not None and coarse_ids.shape[0] > 0:
-        cvecs = vectors[coarse_ids].astype(queries.dtype)
-        sims = queries @ cvecs.T                       # (Q, C)
         n_seeds = min(n_seeds, coarse_ids.shape[0])
-        _, top = jax.lax.top_k(sims, n_seeds)
-        seeds_all = coarse_ids[top]                    # (Q, n_seeds)
+        seeds_all = _l2_coarse_seeds(queries, vectors, coarse_ids, n_seeds)
 
-    # graph arrays are jit ARGUMENTS, not closure captures: captured arrays
-    # are embedded in the serialized module and the tunnel's remote compile
-    # uploads them at MB/s (GBs at 1M — the CLAUDE.md closure gotcha)
-    def run_all(queries, vectors, nbr0, nbru, seeds_all=None):
-        def factory(q):
-            def dist_to(ids):
-                v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
-                d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
-                return jnp.where(ids >= 0, d, INF)
-
-            return dist_to
-
-        search_one = make_hnsw_search(factory)
-        if seeds_all is None:
-            return jax.vmap(
-                lambda q: search_one(
-                    q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
-                )
-            )(queries)
-        return jax.vmap(
-            lambda q, s: search_one(
-                q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, s
-            )
-        )(queries, seeds_all)
-
-    if seeds_all is None:
-        ids, scores = jax.jit(run_all)(queries, vectors, nbr0, nbru)
-    else:
-        ids, scores = jax.jit(run_all)(queries, vectors, nbr0, nbru, seeds_all)
+    ids, scores = _l2_search_all(
+        queries, vectors, nbr0, nbru, seeds_all,
+        entry=int(entry), k=k, ef=ef, max_steps=max_steps, N=N,
+    )
     return scores, ids
+
+
+# Jitted drivers live at module level (static over the search config) so
+# repeated searches at the same shapes hit the jit cache — a per-call
+# ``jax.jit(closure)`` retraces every call, and each compile costs ~35 s
+# through the remote-compile tunnel. Graph arrays are jit ARGUMENTS, not
+# closure captures: captured arrays are embedded in the serialized module and
+# the tunnel uploads them at MB/s (GBs at 1M — the CLAUDE.md closure gotcha).
+@partial(jax.jit, static_argnames=("n_seeds",))
+def _l2_coarse_seeds(queries, vectors, coarse_ids, n_seeds):
+    # Seeds are ranked by the same squared-L2 metric the beam uses
+    # (||c||^2 - 2 q.c; the q^2 term is constant per query): inner-product
+    # ranking agrees only for L2-normalized galleries.
+    cvecs = vectors[coarse_ids].astype(jnp.float32)
+    d = jnp.sum(cvecs * cvecs, axis=-1)[None, :] - 2.0 * (
+        queries.astype(jnp.float32) @ cvecs.T
+    )                                                  # (Q, C)
+    _, top = jax.lax.top_k(-d, n_seeds)
+    return coarse_ids[top]                             # (Q, n_seeds)
+
+
+@partial(jax.jit, static_argnames=("entry", "k", "ef", "max_steps", "N"))
+def _l2_search_all(queries, vectors, nbr0, nbru, seeds_all, *, entry, k, ef,
+                   max_steps, N):
+    def factory(q):
+        def dist_to(ids):
+            v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
+            d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
+            return jnp.where(ids >= 0, d, INF)
+
+        return dist_to
+
+    search_one = make_hnsw_search(factory)
+    if seeds_all is None:
+        return jax.vmap(
+            lambda q: search_one(
+                q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
+            )
+        )(queries)
+    return jax.vmap(
+        lambda q, s: search_one(
+            q, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, s
+        )
+    )(queries, seeds_all)
 
 
 def hnsw_search_batch_pq(
@@ -237,50 +259,50 @@ def hnsw_search_batch_pq(
     luts = pq_dist_table(PQCodebook(codewords), queries)  # (Q, M, Ks)
     codes32 = codes.astype(jnp.int32)
 
-    def _adc(lut, c):
-        # lut (M, Ks), c (n, M) -> (n,): sum_m lut[m, c[:, m]]
-        gathered = jax.vmap(lambda l, cm: l[cm], in_axes=(0, 1), out_axes=1)(lut, c)
-        return jnp.sum(gathered, axis=1)
-
     seeds_all = None
     if coarse_ids is not None and coarse_ids.shape[0] > 0:
         ns = min(n_seeds, coarse_ids.shape[0])
+        seeds_all = _pq_coarse_seeds(luts, codes32, coarse_ids, ns)
 
-        def coarse_seeds(luts, codes32, coarse_ids):
-            cc = codes32[coarse_ids]                      # (C, M)
-            dc = jax.vmap(lambda lut: _adc(lut, cc))(luts)  # (Q, C)
-            _, top = jax.lax.top_k(-dc, ns)
-            return coarse_ids[top]
-
-        seeds_all = jax.jit(coarse_seeds)(luts, codes32, coarse_ids)
-
-    # codes/graph as jit arguments, not closure captures (CLAUDE.md gotcha)
-    def run_all(luts, codes32, nbr0, nbru, seeds_all=None):
-        def factory(lut):
-            def dist_to(ids):
-                c = codes32[jnp.clip(ids, 0)]             # (n, M)
-                return jnp.where(ids >= 0, _adc(lut, c), INF)
-
-            return dist_to
-
-        search_one = make_hnsw_search(factory)
-        if seeds_all is None:
-            return jax.vmap(
-                lambda lut: search_one(
-                    lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
-                )
-            )(luts)
-        return jax.vmap(
-            lambda lut, s: search_one(
-                lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, s
-            )
-        )(luts, seeds_all)
-
-    if seeds_all is None:
-        ids, scores = jax.jit(run_all)(luts, codes32, nbr0, nbru)
-    else:
-        ids, scores = jax.jit(run_all)(luts, codes32, nbr0, nbru, seeds_all)
+    ids, scores = _pq_search_all(
+        luts, codes32, nbr0, nbru, seeds_all,
+        entry=int(entry), k=k, ef=ef, max_steps=max_steps, N=N,
+    )
     return scores, ids
+
+
+@partial(jax.jit, static_argnames=("n_seeds",))
+def _pq_coarse_seeds(luts, codes32, coarse_ids, n_seeds):
+    cc = codes32[coarse_ids]                          # (C, M)
+    dc = jax.vmap(lambda lut: _adc(lut, cc))(luts)    # (Q, C)
+    _, top = jax.lax.top_k(-dc, n_seeds)
+    return coarse_ids[top]
+
+
+# codes/graph as jit arguments, not closure captures (CLAUDE.md gotcha);
+# module-level jit so repeat searches at one config reuse the compile.
+@partial(jax.jit, static_argnames=("entry", "k", "ef", "max_steps", "N"))
+def _pq_search_all(luts, codes32, nbr0, nbru, seeds_all, *, entry, k, ef,
+                   max_steps, N):
+    def factory(lut):
+        def dist_to(ids):
+            c = codes32[jnp.clip(ids, 0)]             # (n, M)
+            return jnp.where(ids >= 0, _adc(lut, c), INF)
+
+        return dist_to
+
+    search_one = make_hnsw_search(factory)
+    if seeds_all is None:
+        return jax.vmap(
+            lambda lut: search_one(
+                lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
+            )
+        )(luts)
+    return jax.vmap(
+        lambda lut, s: search_one(
+            lut, nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, s
+        )
+    )(luts, seeds_all)
 
 
 def hnsw_descend_entries(
@@ -294,20 +316,21 @@ def hnsw_descend_entries(
     Feeds the Pallas level-0 beam kernel (ops.pallas_graph), which owns the
     expensive part of the traversal.
     """
+    return _descend_all(queries, vectors, nbru, entry=int(entry))
 
-    def run_all(queries, vectors, nbru):
-        def one(q):
-            def dist_to(ids):
-                v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
-                d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
-                return jnp.where(ids >= 0, d, INF)
 
-            point = jnp.int32(entry)
-            pd = dist_to(jnp.asarray([entry]))[0]
-            for l in range(nbru.shape[0] - 1, -1, -1):
-                point, pd = _greedy_descent(dist_to, nbru[l], point, pd)
-            return point
+@partial(jax.jit, static_argnames=("entry",))
+def _descend_all(queries, vectors, nbru, *, entry):
+    def one(q):
+        def dist_to(ids):
+            v = vectors[jnp.clip(ids, 0)].astype(jnp.float32)
+            d = jnp.sum((v - q[None, :].astype(jnp.float32)) ** 2, axis=-1)
+            return jnp.where(ids >= 0, d, INF)
 
-        return jax.vmap(one)(queries)
+        point = jnp.int32(entry)
+        pd = dist_to(jnp.asarray([entry]))[0]
+        for l in range(nbru.shape[0] - 1, -1, -1):
+            point, pd = _greedy_descent(dist_to, nbru[l], point, pd)
+        return point
 
-    return jax.jit(run_all)(queries, vectors, nbru)
+    return jax.vmap(one)(queries)

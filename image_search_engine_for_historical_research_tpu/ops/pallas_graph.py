@@ -70,6 +70,7 @@ def _beam_kernel(
     max_steps: int,
     T: int,
     N: int,
+    n_nbr: int,
 ):
     qid = pl.program_id(0)
     start = starts_ref[qid]
@@ -99,7 +100,10 @@ def _beam_kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (m0, m0 * T), 0)
     ).astype(jnp.float32)
 
-    max_nidx = max(N // NBR_W - 1, 0)
+    # n_nbr is the row-padded neighbor-table height (multiple of NBR_W), so
+    # node // NBR_W <= n_nbr/NBR_W - 1 for every real node: each window fetch
+    # is in-bounds and noff always lands inside [0, NBR_W)
+    max_nidx = max(n_nbr // NBR_W - 1, 0)
 
     def test_and_set(node, ok):
         """Visited check + conditional mark, in int32 (no unsigned reductions).
@@ -290,6 +294,14 @@ def pallas_beam_search(
         )
     else:
         nbr0 = nbr0.astype(jnp.int32)
+    # row-pad the neighbor table to a multiple of NBR_W with -1 rows: without
+    # it the last N % NBR_W nodes' window offsets land past the window (their
+    # rows read as node 0) and for N < NBR_W the window DMA reads OOB
+    n_nbr = ((N + NBR_W - 1) // NBR_W) * NBR_W
+    if n_nbr != N:
+        nbr0 = jnp.concatenate(
+            [nbr0, jnp.full((n_nbr - N, 128), -1, jnp.int32)], axis=0
+        )
 
     # row-tile the database: pad D so each row is a whole number of aligned
     # sublane tiles (8 rows f32 / 16 rows bf16 per tile of 128 lanes)
@@ -312,7 +324,8 @@ def pallas_beam_search(
     vw = -(-N // (128 * 32))  # bitset rows
 
     kernel = partial(
-        _beam_kernel, m0=m0, ef=ef_pad, max_steps=max_steps, T=T, N=N
+        _beam_kernel, m0=m0, ef=ef_pad, max_steps=max_steps, T=T, N=N,
+        n_nbr=n_nbr,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -62,6 +62,29 @@ def test_index_pallas_path(setup):
     assert recall(exact, i) > 0.85
 
 
+def test_ragged_n_tail_nodes_reachable():
+    """N % NBR_W != 0: tail nodes' neighbor rows must fetch correctly.
+
+    Regression for the window-offset bug where the last N % 8 nodes read
+    all-zero neighbor rows (and N < 8 read out of bounds)."""
+    rng = np.random.default_rng(3)
+    for n in (11, 203):
+        x = rng.standard_normal((n, 64)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q = x[rng.integers(0, n, 6)] + 0.005 * rng.standard_normal(
+            (6, 64)
+        ).astype(np.float32)
+        ix = build_hnsw(x, m=8, ef_construction=32)
+        _, exact = build_flat(x).search(q, 5)
+        starts = hnsw_descend_entries(
+            ix.vectors, ix.nbru, ix.entry, jnp.asarray(q)
+        )
+        _, i = pallas_beam_search(
+            ix.vectors, ix.nbr0, jnp.asarray(q), starts, ef=32, interpret=True
+        )
+        assert recall(np.asarray(exact), i, k=5) >= 0.99
+
+
 def test_no_duplicate_results(setup):
     x, q, ix, exact = setup
     starts = hnsw_descend_entries(ix.vectors, ix.nbru, ix.entry, jnp.asarray(q))
