@@ -65,6 +65,7 @@ def build_pq(
     seed: int = 42,
     normalize: bool = True,
     train_sample: int | None = None,
+    mesh=None,
 ) -> PQIndex:
     """Train codebooks on the database and encode it (nnsearch.py:879-891).
 
@@ -77,6 +78,9 @@ def build_pq(
     v = jnp.asarray(vecs)
     if normalize:
         v = normalize_rows(v)
-    cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample)
+    cb = pq_train(
+        v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample,
+        mesh=mesh,
+    )
     codes = pq_encode(cb, v)
     return PQIndex(codewords=cb.codewords, codes=codes, normalized=normalize)

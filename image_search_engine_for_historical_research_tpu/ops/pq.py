@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .kmeans import kmeans_fit, kmeans_fit_batched
+from .kmeans import kmeans_fit, kmeans_fit_batched, kmeans_fit_sharded
 
 
 class PQCodebook(NamedTuple):
@@ -48,6 +48,7 @@ def pq_train(
     seed: int = 42,
     train_sample: int | None = None,
     matmul_dtype=None,
+    mesh=None,
 ) -> PQCodebook:
     """Fit the M sub-codebooks (nnsearch.py:880-885 semantics).
 
@@ -87,9 +88,17 @@ def pq_train(
     centers = []
     for m in range(M):
         sub = jax.lax.dynamic_slice_in_dim(fit_vecs, m * ds, ds, axis=1)
-        c, _ = kmeans_fit(
-            sub, Ks, iters, keys[m], matmul_dtype=matmul_dtype, init=init
-        )
+        if mesh is not None and fit_vecs.shape[0] % mesh.devices.size == 0:
+            # mesh-sharded Lloyd (VERDICT r2 #2): rows sharded, one psum of
+            # centroid sums/counts per iteration over ICI
+            c, _ = kmeans_fit_sharded(
+                sub, Ks, mesh, iters, keys[m], matmul_dtype=matmul_dtype,
+                init=init,
+            )
+        else:
+            c, _ = kmeans_fit(
+                sub, Ks, iters, keys[m], matmul_dtype=matmul_dtype, init=init
+            )
         centers.append(c)
     return PQCodebook(codewords=jnp.stack(centers))
 

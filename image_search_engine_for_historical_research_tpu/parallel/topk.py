@@ -9,13 +9,49 @@ replacement for FAISS's multi-GPU shard merge.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.topk import exact_topk
+
+
+@lru_cache(maxsize=None)
+def _sharded_topk_fn(mesh, axis, n_shards, shard_rows, N, k, metric, chunk,
+                     matmul_dtype):
+    """Compiled driver cache: index builds call this once per row batch —
+    a per-call ``jax.jit(closure)`` would retrace every batch (~250 times at
+    1M), each compile costing ~35 s through the remote-compile tunnel."""
+    k_local = min(k, shard_rows)
+    k_out = min(k, N)
+
+    def local(q, db_shard):
+        # db_shard arrives (shard_rows, D); global offset from the axis index
+        s, i = exact_topk(
+            q, db_shard, k_local, metric=metric, chunk=chunk,
+            matmul_dtype=matmul_dtype,
+        )
+        i = i + jax.lax.axis_index(axis) * shard_rows
+        # gather all shards' candidates: (n_shards, Q, k_local)
+        s_all = jax.lax.all_gather(s, axis)
+        i_all = jax.lax.all_gather(i, axis)
+        Q = q.shape[0]
+        s_cat = jnp.transpose(s_all, (1, 0, 2)).reshape(Q, n_shards * k_local)
+        i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(Q, n_shards * k_local)
+        top_s, sel = jax.lax.top_k(s_cat, k_out)
+        top_i = jnp.take_along_axis(i_cat, sel, axis=1)
+        return top_s, top_i
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,  # scan carry in exact_topk starts unvarying by design
+    )
+    return jax.jit(fn)
 
 
 def sharded_exact_topk(
@@ -41,30 +77,7 @@ def sharded_exact_topk(
     N = db.shape[0]
     if N % n_shards:
         raise ValueError(f"db rows {N} not divisible by mesh axis {n_shards}")
-    shard_rows = N // n_shards
-    k_local = min(k, shard_rows)
-
-    def local(q, db_shard):
-        # db_shard arrives (shard_rows, D); global offset from the axis index
-        s, i = exact_topk(
-            q, db_shard, k_local, metric=metric, chunk=chunk, matmul_dtype=matmul_dtype
-        )
-        i = i + jax.lax.axis_index(axis) * shard_rows
-        # gather all shards' candidates: (n_shards, Q, k_local)
-        s_all = jax.lax.all_gather(s, axis)
-        i_all = jax.lax.all_gather(i, axis)
-        Q = q.shape[0]
-        s_cat = jnp.transpose(s_all, (1, 0, 2)).reshape(Q, n_shards * k_local)
-        i_cat = jnp.transpose(i_all, (1, 0, 2)).reshape(Q, n_shards * k_local)
-        top_s, sel = jax.lax.top_k(s_cat, min(k, N))
-        top_i = jnp.take_along_axis(i_cat, sel, axis=1)
-        return top_s, top_i
-
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(), P()),
-        check_vma=False,  # scan carry in exact_topk starts unvarying by design
+    fn = _sharded_topk_fn(
+        mesh, axis, n_shards, N // n_shards, N, k, metric, chunk, matmul_dtype
     )
-    return jax.jit(fn)(queries, db)
+    return fn(queries, db)

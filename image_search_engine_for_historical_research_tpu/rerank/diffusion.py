@@ -21,7 +21,7 @@ row) stored via npz — replacing the joblib-pickled scipy CSR ``offline.jbl``.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -102,13 +102,21 @@ def _mutual_mask(ids: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
     return m.at[:, 0].set(False)
 
 
-def _laplacian_rows(vecs: jnp.ndarray, kd: int):
+def _laplacian_rows(vecs: jnp.ndarray, kd: int, mesh=None):
     """Padded-row normalized Laplacian: (nbr (N,kd), val (N,kd)) off-diagonals.
 
     Row i of L is ``1`` at i plus ``val[i, m]`` at column ``nbr[i, m]`` (masked
     entries have val 0). Matches get_affinity + get_laplacian semantics.
+    ``mesh`` shards the O(N^2) self-kNN pass over the device mesh.
     """
-    sims, ids = _knn_graph(vecs, kd)
+    if mesh is not None and vecs.shape[0] % mesh.devices.size == 0:
+        from ..parallel import shard_batch, sharded_exact_topk
+
+        sims, ids = sharded_exact_topk(
+            vecs, shard_batch(vecs, mesh), kd, mesh, metric="ip"
+        )
+    else:
+        sims, ids = _knn_graph(vecs, kd)
     w = jnp.clip(sims, min=0.0) ** GAMMA
     mutual = _mutual_mask(ids)
     w = jnp.where(mutual, w, 0.0)  # (N, kd), directed entries i -> ids[i]
@@ -161,6 +169,43 @@ def _knn_and_solve(rows, vecs, lap_nbr, lap_val, k):
     return tids, _batched_trunc_cg(lap_nbr, lap_val, tids)
 
 
+@lru_cache(maxsize=None)
+def _sharded_cg_fn(mesh, axis="data"):
+    """Batch-row-sharded CG: each device solves its rows' truncated systems
+    (independent problems — no collectives), Laplacian rows replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        _batched_trunc_cg,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _knn_and_solve_sharded(rows, vecs_sharded, lap_nbr, lap_val, k, mesh):
+    """Mesh-parallel variant of ``_knn_and_solve`` (VERDICT r2 #2): the
+    candidate kNN runs as per-shard scan + all-gather merge over the sharded
+    gallery, and the CG batch rows are sharded so each device solves its
+    slice. Falls back per-piece when the row count doesn't divide the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import sharded_exact_topk
+
+    _, tids = sharded_exact_topk(rows, vecs_sharded, k, mesh, metric="ip")
+    if rows.shape[0] % mesh.devices.size == 0:
+        scores = _sharded_cg_fn(mesh)(lap_nbr, lap_val, tids)
+        # re-replicate: the offline artifact is row-gathered by the online
+        # pass with replicated indices — a row-sharded result would force
+        # collectives (or fail) on every downstream gather
+        scores = jax.device_put(scores, NamedSharding(mesh, P()))
+    else:
+        scores = jax.jit(_batched_trunc_cg)(lap_nbr, lap_val, tids)
+    return tids, scores
+
+
 def budget_trunc_size(
     n: int, n_trunc: int, memory_budget_bytes: int, score_bytes: int = 2
 ) -> int:
@@ -181,6 +226,7 @@ def build_diffusion_offline(
     score_dtype=None,
     memory_budget_bytes: int = None,
     allow_large: bool = False,
+    mesh=None,
 ) -> DiffusionOffline:
     """Gallery-side diffusion (diffusion.py:52-84).
 
@@ -214,13 +260,24 @@ def build_diffusion_offline(
         )
     kd = min(kd, N)
 
-    lap_nbr, lap_val = _laplacian_rows(vecs, kd)
+    lap_nbr, lap_val = _laplacian_rows(vecs, kd, mesh=mesh)
+    vecs_sharded = None
+    if mesh is not None and N % mesh.devices.size == 0:
+        from ..parallel import shard_batch
+
+        vecs_sharded = shard_batch(vecs, mesh)
 
     ids_out, sc_out = [], []
     for start in range(0, N, batch):
-        tids, sc = _knn_and_solve(
-            vecs[start : start + batch], vecs, lap_nbr, lap_val, T
-        )
+        if vecs_sharded is not None:
+            tids, sc = _knn_and_solve_sharded(
+                vecs[start : start + batch], vecs_sharded, lap_nbr, lap_val,
+                T, mesh,
+            )
+        else:
+            tids, sc = _knn_and_solve(
+                vecs[start : start + batch], vecs, lap_nbr, lap_val, T
+            )
         if host_out:
             ids_out.append(np.asarray(tids, np.int32))
             sc_out.append(np.asarray(sc).astype(score_dtype))
