@@ -175,9 +175,24 @@ class HNSWPQIndex:
     def n(self) -> int:
         return int(self.group_members.shape[0])
 
-    def search(self, queries, k: int, ef: Optional[int] = None) -> Tuple:
+    def search(
+        self, queries, k: int, ef: Optional[int] = None, method: str = "auto"
+    ) -> Tuple:
         """Returns (scores, idx) over *image ids*, expanding unique-code hits
         in rank order until k members are collected (nnsearch.py:669-680).
+
+        ``method``:
+        - ``"adc"``: exact ADC scan over the **unique codes** then expand.
+          Group members share one code, so this reaches the full-scan ADC's
+          shortlist recall (0.91@100 at the 1M/Ks=2^13 driver point,
+          BASELINE.md) at ~U/N of its cost — strictly dominating the graph
+          walk on-chip (recall 0.58 at ~70 ms/q measured in round 2).
+        - ``"graph"``: beam search over the code graph — the reference's
+          traversal semantics (nnsearch.py:585-683), and the only mode whose
+          per-query HBM traffic is o(U): it earns its keep past single-chip
+          HBM (>= 10M codes) or for strict reference-parity studies.
+        - ``"auto"`` (default): ``"adc"`` — the measured winner everywhere a
+          single chip can hold the codes.
 
         The expansion is fully vectorized (one banded ``searchsorted`` instead
         of a per-query python loop): output slot j of query q belongs to the
@@ -187,11 +202,23 @@ class HNSWPQIndex:
         q = normalize_rows(jnp.asarray(queries))
         U = self.unique_codes.shape[0]
         k_unique = min(max(k, 1), U)
-        scores_u, idx_u = hnsw_search_batch_pq(
-            self.unique_codes, self.codewords, self.nbr0, self.nbru, self.entry,
-            q, k_unique, ef or max(self.ef_default, k_unique),
-            coarse_ids=self.coarse_ids,
-        )
+        if method == "auto":
+            method = "adc"
+        if method == "adc":
+            from ..ops.pq import pq_search
+
+            scores_u, idx_u = pq_search(
+                PQCodebook(self.codewords),
+                self.unique_codes.astype(jnp.int32),
+                q,
+                k_unique,
+            )
+        else:
+            scores_u, idx_u = hnsw_search_batch_pq(
+                self.unique_codes, self.codewords, self.nbr0, self.nbru,
+                self.entry, q, k_unique, ef or max(self.ef_default, k_unique),
+                coarse_ids=self.coarse_ids,
+            )
         idx_u = np.asarray(idx_u)
         scores_u = np.asarray(scores_u, np.float32)
         Q, ku = idx_u.shape

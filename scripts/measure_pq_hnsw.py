@@ -55,25 +55,26 @@ def main():
         "seconds": round(build_s, 1),
     }), flush=True)
 
-    t0 = time.time()
-    s, ids = ix.search(queries, 100)
-    ids = np.asarray(ids)
-    t1 = time.time()
-    s, ids2 = ix.search(queries, 100)
-    np.asarray(ids2)
-    t2 = time.time()
-    r10 = float(np.mean([
-        len(set(i_ex[i, :10]) & set(ids[i, :10])) / 10 for i in range(args.q)
-    ]))
-    r100 = float(np.mean([
-        len(set(i_ex[i, :100]) & set(ids[i, :100])) / 100 for i in range(args.q)
-    ]))
-    print(json.dumps({
-        "stage": "search", "Q": args.q,
-        "first_s": round(t1 - t0, 1),
-        "ms_per_query": round((t2 - t1) / args.q * 1e3, 2),
-        "recall10": round(r10, 3), "recall100": round(r100, 3),
-    }), flush=True)
+    for method in ("adc", "graph"):
+        t0 = time.time()
+        s, ids = ix.search(queries, 100, method=method)
+        ids = np.asarray(ids)
+        t1 = time.time()
+        s, ids2 = ix.search(queries, 100, method=method)
+        np.asarray(ids2)
+        t2 = time.time()
+        r10 = float(np.mean([
+            len(set(i_ex[i, :10]) & set(ids[i, :10])) / 10 for i in range(args.q)
+        ]))
+        r100 = float(np.mean([
+            len(set(i_ex[i, :100]) & set(ids[i, :100])) / 100 for i in range(args.q)
+        ]))
+        print(json.dumps({
+            "stage": "search", "method": method, "Q": args.q,
+            "first_s": round(t1 - t0, 1),
+            "ms_per_query": round((t2 - t1) / args.q * 1e3, 2),
+            "recall10": round(r10, 3), "recall100": round(r100, 3),
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,35 @@ class TestHNSWPQ:
             p1 = np.mean(lab[np.asarray(i)[:, 0]] == np.arange(25))
             assert p1 >= 0.9, (b, p1)
 
+    def test_adc_route_reaches_full_scan_recall(self, data):
+        """The default (auto->adc) route must match the plain full-scan ADC's
+        shortlist recall — the VERDICT r2 requirement that PQ_HNSW stop being
+        dominated. Same seed/params -> identical codebooks, so the comparison
+        is apples to apples; the graph walk must not beat it."""
+        from image_search_engine_for_historical_research_tpu.index import build_pq
+
+        x, q, exact = data
+        ix = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64)
+        flat = build_pq(x, M=8, Ks=32)
+        k = 50
+        exact_np = np.asarray(exact)[:, :10]
+
+        def recall(idx):
+            idx = np.asarray(idx)
+            return np.mean(
+                [
+                    len(set(exact_np[r]) & set(idx[r])) / 10
+                    for r in range(len(exact_np))
+                ]
+            )
+
+        _, i_adc = ix.search(q, k)  # auto -> adc
+        _, i_flat = flat.search(q, k)
+        _, i_graph = ix.search(q, k, method="graph")
+        r_adc, r_flat, r_graph = recall(i_adc), recall(i_flat), recall(i_graph)
+        assert r_adc >= r_flat - 0.05, (r_adc, r_flat)
+        assert r_adc >= r_graph - 0.02, (r_adc, r_graph)
+
     def test_save_load(self, data, tmp_path):
         x, q, _ = data
         ix = build_hnsw_pq(x, M=4, Ks=16, m=4, ef_construction=16)
@@ -233,9 +262,11 @@ class TestGroupExpansion:
             return s, i
 
         monkeypatch.setattr(H, "hnsw_search_batch_pq", spy)
-        # k close to n so at least some rows need the backfill path
+        # k close to n so at least some rows need the backfill path;
+        # method="graph" so the spied traversal (not the adc scan) produces
+        # the unique-code hits — the expansion code under test is shared
         k = ix.n - 2
-        scores, idx = ix.search(q, k)
+        scores, idx = ix.search(q, k, method="graph")
         oracle_s, oracle_i = self._loop_oracle(ix, captured["i"], captured["s"], k)
         np.testing.assert_array_equal(np.asarray(idx), oracle_i)
         np.testing.assert_allclose(np.asarray(scores), oracle_s)

@@ -69,6 +69,100 @@ def test_trainer_epoch_and_resume(train_setup):
     np.testing.assert_allclose(p_saved, p_restored)
 
 
+def test_eval_hook_fires_and_val_loss_compiled_once(train_setup):
+    """VERDICT r2 #4: the retrieval-eval hook runs every test_freq epochs and
+    the validation loss is jitted once in __init__, not per epoch."""
+    root, dataset, model = train_setup
+    dataset = train.tuples_from_folders(dataset.images)
+    dataset.nnum = 2
+    calls = []
+
+    def eval_fn(m):
+        calls.append(1)
+        return {"synth/mapM": 1.0}
+
+    cfg = train.TrainConfig(
+        epochs=2, lr=1e-4, image_size=64, nnum=2, batch_tuples=2,
+        qsize=8, poolsize=12, checkpoint_dir=str(root / "run_eval"),
+        val_fraction=0.25, exp_decay=0.0, test_freq=2,
+    )
+    trainer = train.Trainer(model, dataset, cfg, eval_fn=eval_fn)
+    import image_search_engine_for_historical_research_tpu.train.trainer as T
+
+    # the val loss must not be re-created inside fit
+    before = trainer._val_loss_fn
+    hist = trainer.fit(log=None)
+    assert trainer._val_loss_fn is before
+    # jit cache: a single compilation for the repeated val shape
+    try:
+        assert trainer._val_loss_fn._cache_size() == 1
+    except AttributeError:
+        pass  # older jax without _cache_size
+
+    # test_freq=2 with 2 epochs -> hook fired exactly once, at epoch 1
+    assert len(calls) == 1
+    assert hist[0].eval_metrics == {}
+    assert hist[1].eval_metrics == {"synth/mapM": 1.0}
+
+    # metrics.jsonl carries the eval metric
+    logged = trainer.metrics.read()
+    assert any(rec.get("synth/mapM") == 1.0 for rec in logged)
+
+
+def test_make_retrieval_eval_on_synthetic_folders(train_setup):
+    root, dataset, model = train_setup
+    import numpy as np
+
+    labels = [p.split("/")[-2] for p in dataset.images]
+    uniq = sorted(set(labels))
+    q_idx = [labels.index(u) for u in uniq]  # one query per class
+    gnd = []
+    for u in uniq:
+        members = np.array([i for i, l in enumerate(labels) if l == u])
+        gnd.append({"easy": members, "hard": np.empty(0, np.int64),
+                    "junk": np.empty(0, np.int64)})
+    eval_fn = train.make_retrieval_eval(
+        {"synth": {"images": dataset.images,
+                   "qimages": [dataset.images[i] for i in q_idx],
+                   "gnd": gnd}},
+        image_size=64, batch_size=4,
+    )
+    out = eval_fn(model)
+    assert set(out) == {"synth/mapE", "synth/mapM", "synth/mapH"}
+    assert 0.0 <= out["synth/mapM"] <= 1.0 + 1e-9
+
+
+def test_update_every_accumulates(train_setup):
+    """--update-every semantics (main_train.py:523-529): parameters move only
+    every k micro-batches."""
+    root, dataset, model = train_setup
+    import jax.numpy as jnp
+
+    from image_search_engine_for_historical_research_tpu import models
+
+    model2 = models.init_network(
+        {"architecture": "resnet50"}, rng=jax.random.PRNGKey(5)
+    )
+    dataset = train.tuples_from_folders(dataset.images)
+    cfg = train.TrainConfig(
+        epochs=1, lr=1e-3, image_size=64, nnum=2, batch_tuples=1,
+        qsize=8, poolsize=12, checkpoint_dir=str(root / "run_acc"),
+        exp_decay=0.0, update_every=2,
+    )
+    trainer = train.Trainer(model2, dataset, cfg)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    labels = jnp.asarray([-1, 1, 0, 0], jnp.int32)
+
+    p0 = np.asarray(trainer.state.params["params"]["gem_p"])
+    trainer.state, _ = trainer.step_fn(trainer.state, imgs, labels)
+    p1 = np.asarray(trainer.state.params["params"]["gem_p"])
+    np.testing.assert_array_equal(p1, p0)  # accumulating, no update yet
+    trainer.state, _ = trainer.step_fn(trainer.state, imgs, labels)
+    p2 = np.asarray(trainer.state.params["params"]["gem_p"])
+    assert not np.array_equal(p2, p0)      # second micro-batch applies
+
+
 class TestDbPickleIngestion:
     """SfM120k/GL18 db-pickle format (traindataset.py:47-106)."""
 
