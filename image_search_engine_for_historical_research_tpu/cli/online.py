@@ -23,6 +23,9 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--datasets", required=True)
+    p.add_argument("--data-root", default=None,
+                   help="base dir the stored relative image paths resolve "
+                        "against (for result thumbnails)")
     p.add_argument("--K", type=int, default=10)
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
@@ -53,7 +56,7 @@ def make_service(args) -> SearchService:
     return SearchService(
         model, index, vecs, paths, K=args.K,
         scales=parse_scales(args.multiscale), image_size=args.image_size,
-        rerank=not args.no_rerank,
+        rerank=not args.no_rerank, image_root=args.data_root,
     )
 
 
