@@ -1,0 +1,110 @@
+"""Geometric re-ranker throughput on TPU: batched AdaLAM + batched LoFTR.
+
+VERDICT r2 weak #6 asked for measured ms/query rows for the SAHA (AdaLAM)
+and LoFTR re-rank paths. Both now dispatch pair BATCHES (one jitted vmapped
+program) instead of one device call per pair; this script measures ms/pair
+at realistic shapes across batch sizes.
+
+- SAHA: K=1024 keypoints/image (MAX_KPTS), 128-d SIFT descriptors, full
+  AdaLAM filter (128 RANSAC iters, refit) — the per-query cost is
+  b=30 pairs (Reranking.py:37-116).
+- LoFTR: reference-exact architecture at 480x640 grayscale (random weights —
+  timing only), per-query cost is b=60 pairs (Reranking.py:126-185).
+
+Usage: python scripts/measure_geometric.py [--skip-loftr]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _time_reps(fn, reps=3):
+    """Median wall time of reps calls; forces completion via a tiny transfer
+    (block_until_ready can return early through the tunnel — CLAUDE.md)."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        np.asarray(np.ravel(np.asarray(out))[:1])
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def synth_features(seed, n=900, imsize=1000.0, K=1024):
+    from image_search_engine_for_historical_research_tpu.rerank.geometric import (
+        LocalFeatures,
+    )
+
+    rng = np.random.default_rng(seed)
+    k1 = rng.uniform(40, imsize - 40, (n, 2)).astype(np.float32)
+    d = rng.standard_normal((n, 128)).astype(np.float32)
+    f = LocalFeatures(
+        xy=np.zeros((K, 2), np.float32),
+        scale=np.ones((K,), np.float32),
+        angle=np.zeros((K,), np.float32),
+        desc=np.zeros((K, 128), np.float32),
+        count=n, shape=(int(imsize), int(imsize)),
+    )
+    f.xy[:n] = k1
+    f.desc[:n] = d / np.linalg.norm(d, axis=1, keepdims=True)
+    f.scale[:n] = rng.uniform(2, 6, n)
+    f.angle[:n] = rng.uniform(0, 2 * np.pi, n)
+    return f
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--skip-loftr", action="store_true")
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+
+    from image_search_engine_for_historical_research_tpu.rerank.geometric import (
+        adalam_count_pairs,
+    )
+
+    feats = [synth_features(s) for s in range(8)]
+    for B in (8, 16, 32):
+        fq = [feats[i % 8] for i in range(B)]
+        fc = [feats[(i + 1) % 8] for i in range(B)]
+        adalam_count_pairs(fq, fc, pair_batch=B)  # warmup/compile
+        dt = _time_reps(lambda: adalam_count_pairs(fq, fc, pair_batch=B),
+                        args.reps)
+        print(json.dumps({
+            "stage": "adalam", "pair_batch": B, "K": 1024,
+            "ms_per_pair": round(dt / B * 1e3, 2),
+            "ms_per_query_b30": round(dt / B * 1e3 * 30, 1),
+        }), flush=True)
+
+    if args.skip_loftr:
+        return
+
+    from image_search_engine_for_historical_research_tpu.models import loftr
+
+    m, variables = loftr.init_matcher(image_shape=(480, 640))
+    count_fn = loftr.make_batched_count_fn(m, variables)
+    rng = np.random.default_rng(0)
+    for B in (1, 2, 4):
+        i0 = rng.uniform(0, 1, (B, 480, 640, 1)).astype(np.float32)
+        i1 = rng.uniform(0, 1, (B, 480, 640, 1)).astype(np.float32)
+        count_fn(i0, i1)  # warmup/compile
+        dt = _time_reps(lambda: count_fn(i0, i1), args.reps)
+        print(json.dumps({
+            "stage": "loftr", "pair_batch": B, "resolution": "480x640",
+            "ms_per_pair": round(dt / B * 1e3, 2),
+            "ms_per_query_b60": round(dt / B * 1e3 * 60, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

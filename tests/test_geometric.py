@@ -113,6 +113,87 @@ class TestRerank:
         assert np.isfinite(f.desc[: f.count]).all()
 
 
+def adalam_scene(seed=0, n_in=200, n_out=80, imsize=1000.0):
+    """AdaLAM-friendly scene: affine inliers + outliers, NOISY descriptors
+    (exact-duplicate descriptors make every ratio score tie at 0 and
+    degenerate the seed selection/confidence gate). Padded LocalFeatures."""
+    rng = np.random.default_rng(seed)
+    n = n_in + n_out
+    k1 = rng.uniform(40, imsize - 40, (n, 2)).astype(np.float32)
+    theta = 0.2
+    A = np.array([[np.cos(theta), -np.sin(theta)],
+                  [np.sin(theta), np.cos(theta)]], np.float32) * 1.1
+    k2 = np.empty_like(k1)
+    k2[:n_in] = k1[:n_in] @ A.T + [25.0, -12.0] + rng.normal(0, 1.0, (n_in, 2))
+    k2[n_in:] = rng.uniform(40, imsize - 40, (n_out, 2))
+
+    d = rng.standard_normal((n, 128)).astype(np.float32)
+    d1 = d + 0.05 * rng.standard_normal((n, 128)).astype(np.float32)
+    d2 = d + 0.05 * rng.standard_normal((n, 128)).astype(np.float32)
+    o1 = rng.uniform(0, 2 * np.pi, n).astype(np.float32)
+    o2 = (o1 + theta + rng.normal(0, 0.05, n)).astype(np.float32)
+    s1 = rng.uniform(2, 6, n).astype(np.float32)
+    s2 = (s1 * 1.1).astype(np.float32)
+
+    def pack(xy, o, s, dd):
+        f = G.LocalFeatures(
+            xy=np.zeros((G.MAX_KPTS, 2), np.float32),
+            scale=np.ones((G.MAX_KPTS,), np.float32),
+            angle=np.zeros((G.MAX_KPTS,), np.float32),
+            desc=np.zeros((G.MAX_KPTS, 128), np.float32),
+            count=n, shape=(int(imsize), int(imsize)),
+        )
+        f.xy[:n], f.angle[:n], f.scale[:n], f.desc[:n] = xy, o, s, dd
+        return f
+
+    return pack(k1, o1, s1, d1), pack(k2, o2, s2, d2)
+
+
+class TestBatchedAdalam:
+    def test_batched_counts_match_sequential(self):
+        """The pair-batched AdaLAM counter must agree with the per-pair
+        match_and_filter path (same config, same inputs)."""
+        f1, f2 = adalam_scene(seed=4)
+        g1, _ = adalam_scene(seed=7)
+        rng = np.random.default_rng(8)
+        g2 = G.LocalFeatures(
+            xy=f2.xy.copy(), scale=f2.scale.copy(), angle=f2.angle.copy(),
+            desc=rng.permutation(f2.desc), count=f2.count, shape=f2.shape,
+        )
+        pairs_q = [f1, f1, g1]
+        pairs_c = [f2, g2, f2]
+
+        seq = G.make_adalam_verifier()
+        seq_counts = np.array([seq(a, b) for a, b in zip(pairs_q, pairs_c)])
+        bat_counts = G.adalam_count_pairs(pairs_q, pairs_c, pair_batch=2)
+        np.testing.assert_array_equal(bat_counts, seq_counts)
+        assert seq_counts[0] > 50        # the true pair survives
+        assert seq_counts[1] < seq_counts[0]
+
+    def test_sift_rerank_batched_default(self, tmp_path):
+        import cv2
+
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0, 255, (240, 320)).astype(np.uint8)
+        base = cv2.GaussianBlur(base, (0, 0), 2.0)
+        shifted = np.roll(base, 12, axis=1)
+        other = cv2.GaussianBlur(
+            rng.uniform(0, 255, (240, 320)).astype(np.uint8), (0, 0), 2.0
+        )
+        paths = {}
+        for name, img in [("q", base), ("same", shifted), ("diff", other)]:
+            p = str(tmp_path / f"{name}.jpg")
+            cv2.imwrite(p, img)
+            paths[name] = p
+
+        ranks = np.array([[1, 0]])
+        out = G.sift_rerank(  # default path = batched AdaLAM
+            [paths["q"]], [paths["same"], paths["diff"]], ranks, b=2,
+            resize=(320, 240), pair_batch=2,
+        )
+        assert out[0, 0] == 0
+
+
 class TestLoFTRRerank:
     def test_loftr_rerank_promotes_matching_image(self, tmp_path):
         import cv2
@@ -144,6 +225,36 @@ class TestLoFTRRerank:
         )
         assert out.shape == (1, 2)
         assert set(out[0]) == {0, 1}
+
+        # the pair-batched counter produces the same re-ranking, and its
+        # counts equal the per-pair path's
+        count_fn = loftr.make_batched_count_fn(m, variables)
+        out_b = G.loftr_rerank(
+            [paths["q"]], [paths["same"], paths["diff"]], ranks,
+            count_fn=count_fn, b=2, resolution=(96, 64), pair_batch=2,
+        )
+        np.testing.assert_array_equal(out_b, out)
+
+        import cv2 as _cv2
+
+        def _load(p):
+            img = _cv2.resize(
+                _cv2.imread(p, _cv2.IMREAD_GRAYSCALE), (96, 64)
+            ).astype(np.float32) / 255.0
+            return img[:, :, None]
+
+        i0 = np.stack([_load(paths["q"])] * 2)
+        i1 = np.stack([_load(paths["same"]), _load(paths["diff"])])
+        batched = np.asarray(count_fn(i0, i1))
+        per_pair = np.array([
+            int(np.asarray(match_fn(_load(paths["q"]), _load(paths[n])).num_matches))
+            for n in ("same", "diff")
+        ])
+        np.testing.assert_array_equal(batched, per_pair)
+
+        with pytest.raises(ValueError, match="exactly one"):
+            G.loftr_rerank([paths["q"]], [paths["same"]], ranks,
+                           match_fn=match_fn, count_fn=count_fn)
 
 
 def test_rank_montage(tmp_path):
