@@ -46,6 +46,16 @@ DEFAULT_CONFIG = {
     "detected_scale_rate_threshold": 5.0,
     "refit": True,
     "force_seed_mnn": True,
+    # Static work caps (TPU-only knobs, not in the reference): the jitted
+    # filter pads every problem to fixed shapes, and the RANSAC selection
+    # sorts/gathers over (seeds x members) rows — at K=1024 keypoints the
+    # UNCAPPED dense (1024, 1024) layout measured ~8 s/pair on v5e (the
+    # argsort + take_along_axis run on the scalar unit). Real scenes have
+    # ~n/10 seeds and ~n/6 members per neighborhood (area_ratio 100,
+    # expansion 4), so score-ranked truncation at these budgets is a no-op
+    # for typical inputs while cutting the hot tensors 16x.
+    "max_seeds": 256,
+    "max_neighbors": 256,
 }
 
 
@@ -186,6 +196,8 @@ def _adalam_impl(
     scale_rate_thr: float,
     det_thr: float,
     block: int,
+    max_seeds: int = 256,
+    max_neighbors: int = 256,
 ):
     import jax
     import jax.numpy as jnp
@@ -204,11 +216,12 @@ def _adalam_impl(
         seed_mask = ~jnp.any(consider, axis=1)
     seed_mask = seed_mask & (scores1 < 0.8**2) & valid1
 
-    # static seed budget = n1 (every match can be a seed); order best-first
+    # static seed budget (best-score-first; the cap is a TPU work bound —
+    # see DEFAULT_CONFIG["max_seeds"])
+    ns = min(n1, max_seeds)
     seed_key = jnp.where(seed_mask, scores1, jnp.inf)
-    seed_idx = jnp.argsort(seed_key)                       # (n1,)
+    seed_idx = jnp.argsort(seed_key)[:ns]                  # (ns,)
     seed_valid = jnp.take(seed_mask, seed_idx)
-    ns = n1
 
     # --- neighborhood sets (core.py:43-113) ---
     f_seed = jnp.take(fnn12, seed_idx)
@@ -232,35 +245,39 @@ def _adalam_impl(
         rate = jnp.take(rels, seed_idx)[:, None] / jnp.clip(rels[None, :], min=1e-12)
         member = member & (rate < scale_rate_thr) & (rate > 1.0 / scale_rate_thr)
 
-    rdims = jnp.sum(member, axis=1)
+    # --- COMPACT member layout: keep each seed's top-``mn`` members by score
+    # (extract_local_patterns sorts by score). The RANSAC selection sorts and
+    # gathers over (ns, members) rows every iteration — the dense (ns, n1)
+    # layout made those scalar-unit passes ~8 s/pair at K=1024 on v5e.
+    mn = min(n1, max_neighbors)
+    member_key = jnp.where(member, scores1[None, :], jnp.inf)
+    mem_idx = jnp.argsort(member_key, axis=1)[:, :mn]           # (ns, mn)
+    member_c = jnp.take_along_axis(member, mem_idx, axis=1)     # (ns, mn)
+
+    rdims = jnp.sum(member_c, axis=1)
     seed_ok = rdims >= min_inliers
-    member = member & seed_ok[:, None]
+    member_c = member_c & seed_ok[:, None]
     rdims = jnp.where(seed_ok, rdims, 0)
 
     # --- relative, radius-normalized coordinates (core.py:263-266) ---
-    x_rel = (k1[None, :, :] - jnp.take(k1, seed_idx, axis=0)[:, None, :]) / (R1 * se)
-    y_rel = (k2m[None, :, :] - k2s[:, None, :]) / (R2 * se)     # (ns, n1, 2)
-
-    # score-ranked member order per seed (extract_local_patterns sorts by score)
-    member_key = jnp.where(member, scores1[None, :], jnp.inf)
-    order = jnp.argsort(member_key, axis=1)                     # (ns, n1)
+    k1_seed = jnp.take(k1, seed_idx, axis=0)                    # (ns, 2)
+    x_rel = (jnp.take(k1, mem_idx, axis=0) - k1_seed[:, None, :]) / (R1 * se)
+    y_rel = (jnp.take(k2m, mem_idx, axis=0) - k2s[:, None, :]) / (R2 * se)
+    # members are already score-ranked in the compact layout, so sampling
+    # ranks index columns directly (no per-iteration order gather)
 
     schedule = jnp.asarray(_first_k_couples(iters))             # (iters, 2)
     rdim_safe = jnp.clip(rdims, min=1)
 
     def sample_points(sched_rows):
         """(B, 2) relative ranks -> sampled (B, ns, 2pts, 2xy) coords."""
-        B = sched_rows.shape[0]
         rel = sched_rows[:, None, :] % rdim_safe[None, :, None]  # (B, ns, 2)
-        kp = jnp.take_along_axis(
-            jnp.broadcast_to(order[None], (B,) + order.shape), rel, axis=2
-        )  # (B, ns, 2)
         px = jax.vmap(
             lambda kpb: jnp.take_along_axis(x_rel, kpb[..., None], axis=1)
-        )(kp)
+        )(rel)
         py = jax.vmap(
             lambda kpb: jnp.take_along_axis(y_rel, kpb[..., None], axis=1)
-        )(kp)
+        )(rel)
         return px, py  # (B, ns, 2, 2)
 
     def residuals_for(A):
@@ -286,8 +303,8 @@ def _adalam_impl(
         A = _fit_affine(px, py)
         if not refit:
             A = _ellipse_filter(A, det_thr)
-        res = residuals_for(A)                          # (block, ns, n1)
-        cnt, _, _, _ = _select_inliers(res, member[None], min_confidence)
+        res = residuals_for(A)                          # (block, ns, mn)
+        cnt, _, _, _ = _select_inliers(res, member_c[None], min_confidence)
         cnt = jnp.where((ids < iters)[:, None], cnt, -1)
         blk_best = jnp.max(cnt, axis=0)
         blk_arg = jnp.argmax(cnt, axis=0)               # first max in block
@@ -302,14 +319,13 @@ def _adalam_impl(
     # --- recompute the best iteration per seed: full selection statistics ---
     best_sched = jnp.take(schedule, best_it, axis=0)    # (ns, 2)
     rel = best_sched % rdim_safe[:, None]
-    kp = jnp.take_along_axis(order, rel, axis=1)        # (ns, 2)
-    px = jnp.take_along_axis(x_rel, kp[..., None], axis=1)
-    py = jnp.take_along_axis(y_rel, kp[..., None], axis=1)
+    px = jnp.take_along_axis(x_rel, rel[..., None], axis=1)
+    py = jnp.take_along_axis(y_rel, rel[..., None], axis=1)
     A = _fit_affine(px, py)
     if not refit:
         A = _ellipse_filter(A, det_thr)
-    res = residuals_for(A)                              # (ns, n1)
-    count, total_w, largest, inl = _select_inliers(res, member, min_confidence)
+    res = residuals_for(A)                              # (ns, mn)
+    count, total_w, largest, inl = _select_inliers(res, member_c, min_confidence)
 
     if refit:
         # least-squares refit over the selected inliers (ransac.py:119-127)
@@ -329,7 +345,9 @@ def _adalam_impl(
         )
         A = _ellipse_filter(YtX @ XtX_inv, det_thr)
         res = residuals_for(A)
-        count, total_w, largest, inl = _select_inliers(res, member, min_confidence)
+        count, total_w, largest, inl = _select_inliers(
+            res, member_c, min_confidence
+        )
 
     expected = total_w * largest
     conf = jnp.where(expected > 0, count.astype(jnp.float32) / expected, 0.0)
@@ -338,7 +356,14 @@ def _adalam_impl(
         count.astype(jnp.float32) * (1.0 - 1.0 / jnp.clip(conf, min=1e-12))
         >= min_inliers
     )
-    keep = jnp.any(inl & seed_pass[:, None], axis=0)    # (n1,)
+    # scatter compact inliers back to keypoint order (duplicate-index max)
+    contrib = (inl & seed_pass[:, None] & member_c).astype(jnp.int32)
+    keep = (
+        jnp.zeros((n1,), jnp.int32)
+        .at[mem_idx.reshape(-1)]
+        .max(contrib.reshape(-1))
+        > 0
+    )                                                   # (n1,)
 
     # fallback when no seed survives (core.py:258-262): plain ratio test
     any_seed = jnp.any(seed_ok)
@@ -385,6 +410,8 @@ class AdalamFilter:
                     scale_rate_thr=float(sthr if sthr is not None else 10.0),
                     det_thr=float(c["detected_scale_rate_threshold"]),
                     block=16,
+                    max_seeds=int(c["max_seeds"]),
+                    max_neighbors=int(c["max_neighbors"]),
                 )
             )
         return self._jitted[n1]
@@ -479,6 +506,8 @@ class AdalamFilter:
             scale_rate_thr=float(sthr if sthr is not None else 10.0),
             det_thr=float(c["detected_scale_rate_threshold"]),
             block=16,
+            max_seeds=int(c["max_seeds"]),
+            max_neighbors=int(c["max_neighbors"]),
         )
         force_mnn = bool(c["force_seed_mnn"])
 
