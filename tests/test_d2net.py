@@ -23,11 +23,17 @@ class TestD2NetOracle:
         import torch
 
         os.environ.setdefault("MPLBACKEND", "Agg")
-        for p in ("/root/reference", "/root/reference/src/utils"):
-            if p not in sys.path:
-                sys.path.append(p)
-        from lib.model_test import D2Net  # noqa: E402
-        from lib.pyramid import process_multiscale as torch_pyramid  # noqa
+        # scope the lib path to this import: leaving /root/reference/src/utils
+        # on sys.path makes its regular-package `src/` (the vendored LoFTR
+        # tree) shadow the reference's namespace package `src`, breaking
+        # later `import src.utils.src...` in other tests
+        lib_path = "/root/reference/src/utils"
+        sys.path.append(lib_path)
+        try:
+            from lib.model_test import D2Net  # noqa: E402
+            from lib.pyramid import process_multiscale as torch_pyramid  # noqa
+        finally:
+            sys.path.remove(lib_path)
 
         torch.manual_seed(0)
         ref = D2Net(model_file=None, use_relu=True, use_cuda=False).eval()
