@@ -42,9 +42,43 @@ def build_parser():
     p.add_argument("--exp-decay", type=float, default=0.01)
     p.add_argument("--no-freeze", action="store_true",
                    help="train conv1-4 too (reference freezes them with --soa)")
+    p.add_argument("--update-every", type=int, default=1,
+                   help="grad accumulation steps (main_train.py:523-529)")
+    p.add_argument("--test-freq", type=int, default=1,
+                   help="run the retrieval eval every N epochs "
+                        "(main_train.py:625-719)")
+    p.add_argument("--test-datasets", default=None,
+                   help="comma list of folder-labelled roots to evaluate "
+                        "retrieval mAP on every --test-freq epochs")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def _folder_eval_datasets(roots):
+    """Folder-labelled roots -> make_retrieval_eval dataset dicts (one query
+    per class, class members as 'easy' positives)."""
+    import numpy as np
+
+    out = {}
+    for root in roots:
+        paths, _ = path_all_jpg(root)
+        labels = [p.split(os.sep)[-2] for p in paths]
+        uniq = sorted(set(labels))
+        gnd = []
+        qimages = []
+        for u in uniq:
+            members = np.array([i for i, l in enumerate(labels) if l == u])
+            qimages.append(paths[int(members[0])])
+            gnd.append({
+                "easy": members,
+                "hard": np.empty(0, np.int64),
+                "junk": np.empty(0, np.int64),
+            })
+        out[os.path.basename(os.path.normpath(root))] = {
+            "images": paths, "qimages": qimages, "gnd": gnd,
+        }
+    return out
 
 
 def run_name(args) -> str:
@@ -84,8 +118,18 @@ def main(argv=None):
         freeze_backbone=not args.no_freeze,
         checkpoint_dir=os.path.join(args.export_dir, run_name(args)),
         seed=args.seed,
+        update_every=args.update_every,
+        test_freq=args.test_freq,
     )
-    trainer = Trainer(model, dataset, cfg)
+    eval_fn = None
+    if args.test_datasets:
+        from ..train import make_retrieval_eval
+
+        eval_fn = make_retrieval_eval(
+            _folder_eval_datasets(args.test_datasets.split(",")),
+            image_size=args.image_size, batch_size=8,
+        )
+    trainer = Trainer(model, dataset, cfg, eval_fn=eval_fn)
     if args.resume and trainer.resume():
         print(f">> resumed at epoch {trainer.start_epoch}")
     trainer.fit()

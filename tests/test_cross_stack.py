@@ -424,6 +424,44 @@ class TestAqeCrossStack:
         assert round(ours.mapH * 100, 2) == pytest.approx(h, abs=0.15)
 
 
+class TestKrReciprocalCrossStack:
+    def test_kr_rerank_against_reference(self, monkeypatch):
+        """The reference's torch kr_reranking (CPU-runnable) vs our boolean-
+        matmul formulation: approximate path (the reference normalizes
+        distances per 6000-column block; we normalize globally), judged by
+        rank overlap and mAP parity."""
+        import torch
+
+        rr = rp.load_reference_reranking()
+        monkeypatch.setattr(rr, "np", _NumpyCompat())
+        # kr_reranking hard-codes .cuda() / empty_cache (Reranking.py:548,553);
+        # run it on CPU torch by making those no-ops for this test
+        monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+        monkeypatch.setattr(torch.cuda, "empty_cache", lambda: None)
+        from image_search_engine_for_historical_research_tpu.rerank import kr_rerank
+
+        gal, q, gnd, _ = make_scene(seed=20, n_clusters=15, views=40, D=32)
+        q = q[:15]
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            ref_idx = rr.kr_reranking(q.T, gal.T)       # (Q, N) ascending
+        our_idx = np.asarray(kr_rerank(q, gal))
+
+        # approximate agreement: the reference's per-block max normalization
+        # and host-loop V construction reorder near-ties; the protocol metric
+        # must still match
+        overlap = np.mean([
+            len(set(ref_idx[i][:10]) & set(our_idx[i][:10])) / 10
+            for i in range(len(q))
+        ])
+        assert overlap >= 0.75, overlap
+
+        ref_map = compute_map_revisited(np.asarray(ref_idx), gnd).mapM
+        our_map = compute_map_revisited(our_idx, gnd).mapM
+        assert our_map == pytest.approx(ref_map, abs=0.02), (ref_map, our_map)
+
+
 # ---------------------------------------------------------------------------
 # 7. Diffusion random walk: reference Diffusion vs our batched-CG pipeline
 # ---------------------------------------------------------------------------

@@ -163,6 +163,42 @@ def test_update_every_accumulates(train_setup):
     assert not np.array_equal(p2, p0)      # second micro-batch applies
 
 
+def test_train_cli_with_eval_flags(train_setup, monkeypatch, capsys):
+    """The train CLI wires --update-every / --test-freq / --test-datasets
+    through to the trainer (main_train.py flag parity)."""
+    import json
+
+    from image_search_engine_for_historical_research_tpu.cli import train as cli_train
+
+    root, dataset, model = train_setup
+    monkeypatch.setattr(cli_train, "load_network", lambda *a, **k: model)
+    rc = cli_train.main([
+        str(root / "cli_run"),
+        "--training-dataset", str(root / "data" / "db"),
+        "--arch", "resnet50",
+        "--epochs", "1",
+        "--image-size", "64",
+        "--neg-num", "2",
+        "--query-size", "8",
+        "--pool-size", "12",
+        "--lr", "1e-4",
+        "--exp-decay", "0.0",
+        "--update-every", "2",
+        "--test-freq", "1",
+        "--test-datasets", str(root / "data" / "db"),
+    ])
+    assert rc == 0
+    runs = [d for d in (root / "cli_run").iterdir() if d.is_dir()]
+    assert len(runs) == 1
+    metrics = [
+        json.loads(l) for l in open(runs[0] / "metrics.jsonl")
+    ]
+    assert len(metrics) == 1
+    eval_keys = [k for k in metrics[0] if k.endswith("/mapM")]
+    assert eval_keys, metrics[0]
+    assert 0.0 <= metrics[0][eval_keys[0]] <= 1.0 + 1e-9
+
+
 class TestDbPickleIngestion:
     """SfM120k/GL18 db-pickle format (traindataset.py:47-106)."""
 
