@@ -113,19 +113,11 @@ def _run_weights(sorted_sq):
     return 1.0 / runlen.astype(jnp.float32)
 
 
-def _select_inliers(res_sq, member, min_confidence):
-    """Confidence-based inlier selection on dense rows (ransac.py:33-66).
-
-    ``res_sq``/``member``: (..., n). Returns (count int, total_weight,
-    largest_accepted_sq, inlier_prefix_mask in original keypoint order).
-    """
+def _sorted_count(sorted_sq, min_confidence):
+    """count / total / largest from value-sorted residuals (ransac.py:33-66)."""
     import jax.numpy as jnp
 
-    key = jnp.where(member, res_sq, jnp.inf)
-    order = jnp.argsort(key, axis=-1)
-    sorted_sq = jnp.take_along_axis(key, order, axis=-1)
     finite = jnp.isfinite(sorted_sq)
-
     w = jnp.where(finite, _run_weights(sorted_sq), 0.0)
     too_perfect = sorted_sq <= 1e-8
     w = jnp.where(too_perfect, 0.0, w)
@@ -139,10 +131,37 @@ def _select_inliers(res_sq, member, min_confidence):
     pos = jnp.clip(count - 1, min=0)[..., None]
     largest = jnp.take_along_axis(sorted_sq, pos, axis=-1)[..., 0]
     largest = jnp.where(count > 0, largest, 0.0)
+    return count, total[..., 0], largest
+
+
+def _count_inliers(res_sq, member, min_confidence):
+    """Count-only selection for the RANSAC block scan: a values-only
+    ``jnp.sort`` replaces the argsort + gather + inverse-argsort of the full
+    version — the counts are identical (they depend only on sorted values),
+    and the index juggling was the hot loop's dominant cost on TPU."""
+    import jax.numpy as jnp
+
+    key = jnp.where(member, res_sq, jnp.inf)
+    count, _, _ = _sorted_count(jnp.sort(key, axis=-1), min_confidence)
+    return count
+
+
+def _select_inliers(res_sq, member, min_confidence):
+    """Confidence-based inlier selection on dense rows (ransac.py:33-66).
+
+    ``res_sq``/``member``: (..., n). Returns (count int, total_weight,
+    largest_accepted_sq, inlier_prefix_mask in original keypoint order).
+    """
+    import jax.numpy as jnp
+
+    key = jnp.where(member, res_sq, jnp.inf)
+    order = jnp.argsort(key, axis=-1)
+    sorted_sq = jnp.take_along_axis(key, order, axis=-1)
+    count, total, largest = _sorted_count(sorted_sq, min_confidence)
 
     rank = jnp.argsort(order, axis=-1)  # inverse permutation: kp -> sorted pos
     inl = rank < count[..., None]
-    return count, total[..., 0], largest, inl
+    return count, total, largest, inl
 
 
 def _fit_affine(px, py, det_floor=1e-10):
@@ -304,7 +323,7 @@ def _adalam_impl(
         if not refit:
             A = _ellipse_filter(A, det_thr)
         res = residuals_for(A)                          # (block, ns, mn)
-        cnt, _, _, _ = _select_inliers(res, member_c[None], min_confidence)
+        cnt = _count_inliers(res, member_c[None], min_confidence)
         cnt = jnp.where((ids < iters)[:, None], cnt, -1)
         blk_best = jnp.max(cnt, axis=0)
         blk_arg = jnp.argmax(cnt, axis=0)               # first max in block
