@@ -98,11 +98,11 @@ def main(argv=None):
                 print("warning: no --loftr-ckpt; LoFTR re-rank uses random "
                       "weights (structure-only run)")
                 m, variables = loftr_mod.init_matcher((480, 640))
-            match_fn = loftr_mod.make_match_fn(m, variables)
+            count_fn = loftr_mod.make_batched_count_fn(m, variables)
             qpaths = [cfg["qim_fname"](cfg, i) for i in range(cfg["nq"])]
             dpaths = [cfg["im_fname"](cfg, i) for i in range(cfg["n"])]
             ranks = rerank.loftr_rerank(
-                qpaths, dpaths, idx, match_fn, b=min(60, K),
+                qpaths, dpaths, idx, count_fn=count_fn, b=min(60, K),
                 resolution=(640, 480),
             )
             res = compute_map_revisited(ranks, cfg["gnd"], args.dataset)

@@ -256,43 +256,56 @@ def adalam_count_pairs(
     custom_config: Optional[dict] = None,
     pair_batch: int = 8,
 ) -> np.ndarray:
-    """Surviving-AdaLAM-match counts for a list of feature pairs, dispatched
-    as pair batches (one jitted vmapped program per ``pair_batch``) instead of
-    one device call per pair — VERDICT r2 weak #6. Returns (len(pairs),)."""
+    """Surviving-AdaLAM-match counts for a list of feature pairs.
+
+    Two-level batching (VERDICT r2 weak #6 + the tunnel-transfer fix):
+    unique ``LocalFeatures`` objects are deduplicated into a device-resident
+    bank uploaded ONCE (a query's features repeat across all its b candidate
+    pairs), then ``pair_batch`` pairs at a time run as one jitted vmapped
+    program gathering from the bank by index — each dispatch ships only two
+    small index vectors. Returns (len(pairs),).
+    """
     import jax.numpy as jnp
 
     from .adalam import AdalamFilter
 
     filt = AdalamFilter(custom_config)
-    counter = filt.make_batched_counter()
+    counter = filt.make_banked_counter()
     P = len(feats_q)
     K = feats_q[0].xy.shape[0]
     counts = np.zeros((P,), np.int64)
 
-    def stack(feats, attr):
-        return jnp.asarray(np.stack([getattr(f, attr) for f in feats]))
+    # identity-deduplicated feature bank
+    bank: list = []
+    slot: dict = {}
+
+    def bid(f):
+        k = id(f)
+        if k not in slot:
+            slot[k] = len(bank)
+            bank.append(f)
+        return slot[k]
+
+    iq = np.array([bid(f) for f in feats_q], np.int32)
+    ic = np.array([bid(f) for f in feats_c], np.int32)
+
+    xy = jnp.asarray(np.stack([f.xy for f in bank]))
+    desc = jnp.asarray(np.stack([f.desc for f in bank]))
+    odeg = jnp.asarray(np.degrees(np.stack([f.angle for f in bank])))
+    sc = jnp.asarray(np.stack([f.scale for f in bank]))
+    valid = jnp.asarray(np.stack([np.arange(K) < f.count for f in bank]))
+    R = jnp.asarray([filt.radius(f.shape) for f in bank], jnp.float32)
 
     for s in range(0, P, pair_batch):
-        fq = list(feats_q[s : s + pair_batch])
-        fc = list(feats_c[s : s + pair_batch])
-        n = len(fq)
+        iq_b = iq[s : s + pair_batch]
+        ic_b = ic[s : s + pair_batch]
+        n = len(iq_b)
         if n < pair_batch:  # pad to the compiled batch shape
-            fq += [fq[-1]] * (pair_batch - n)
-            fc += [fc[-1]] * (pair_batch - n)
-        valid1 = jnp.asarray(
-            np.stack([np.arange(K) < f.count for f in fq])
-        )
-        valid2 = jnp.asarray(
-            np.stack([np.arange(K) < f.count for f in fc])
-        )
+            iq_b = np.concatenate([iq_b, np.full(pair_batch - n, iq_b[-1], np.int32)])
+            ic_b = np.concatenate([ic_b, np.full(pair_batch - n, ic_b[-1], np.int32)])
         out = counter(
-            stack(fq, "xy"), stack(fc, "xy"),
-            stack(fq, "desc"), stack(fc, "desc"),
-            jnp.degrees(stack(fq, "angle")), jnp.degrees(stack(fc, "angle")),
-            stack(fq, "scale"), stack(fc, "scale"),
-            valid1, valid2,
-            jnp.asarray([filt.radius(f.shape) for f in fq], jnp.float32),
-            jnp.asarray([filt.radius(f.shape) for f in fc], jnp.float32),
+            xy, desc, odeg, sc, valid, R,
+            jnp.asarray(iq_b), jnp.asarray(ic_b),
         )
         counts[s : s + n] = np.asarray(out)[:n]
     return counts
