@@ -16,8 +16,10 @@ from __future__ import annotations
 
 import ctypes
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -158,6 +160,23 @@ def build_hnsw(
     )
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _rerank_members(vectors, q, cand_idx, valid, k: int):
+    """Exact inner-product re-rank of expanded member candidates.
+
+    ``vectors`` is the L2-normalized gallery, passed as a jit *argument* so the
+    8 GB array at 1M is never captured into the compile payload (CLAUDE.md
+    tunnel rule). The (Q, E) gather is tiny next to a full scan: E rows per
+    query instead of N.
+    """
+    v = jnp.take(vectors, cand_idx, axis=0)          # (Q, E, D)
+    s = jnp.einsum("qd,qed->qe", q.astype(v.dtype), v)
+    s = jnp.where(valid, s.astype(jnp.float32), -jnp.inf)
+    top_s, top_j = jax.lax.top_k(s, k)
+    top_i = jnp.take_along_axis(cand_idx, top_j, axis=1)
+    return top_s, top_i
+
+
 @register("hnsw_pq")
 @dataclass
 class HNSWPQIndex:
@@ -176,7 +195,8 @@ class HNSWPQIndex:
         return int(self.group_members.shape[0])
 
     def search(
-        self, queries, k: int, ef: Optional[int] = None, method: str = "auto"
+        self, queries, k: int, ef: Optional[int] = None, method: str = "auto",
+        vectors=None, expand: int = 4,
     ) -> Tuple:
         """Returns (scores, idx) over *image ids*, expanding unique-code hits
         in rank order until k members are collected (nnsearch.py:669-680).
@@ -184,27 +204,33 @@ class HNSWPQIndex:
         ``method``:
         - ``"adc"``: exact ADC scan over the **unique codes** then expand.
           Group members share one code, so this reaches the full-scan ADC's
-          shortlist recall (0.91@100 at the 1M/Ks=2^13 driver point,
-          BASELINE.md) at ~U/N of its cost — strictly dominating the graph
-          walk on-chip (recall 0.58 at ~70 ms/q measured in round 2).
+          shortlist recall (0.838@100 at the 1M/Ks=2^13 driver point at
+          1.89 ms/q, BASELINE.md) at ~U/N of its cost — strictly dominating
+          the graph walk on-chip (recall 0.606 at 4.6 ms/q).
+        - ``"adc+rerank"``: the adc route expanded to ``expand * k`` member
+          slots, then re-ranked by exact inner product against the raw
+          ``vectors`` (L2-normalized ``(N, D)`` device array — pass the
+          gallery the serving/flat index already holds; the codes alone
+          cannot order members that share a code). Lifts shortlist recall
+          to the candidate-set ceiling for one small gather+matmul.
         - ``"graph"``: beam search over the code graph — the reference's
           traversal semantics (nnsearch.py:585-683), and the only mode whose
           per-query HBM traffic is o(U): it earns its keep past single-chip
           HBM (>= 10M codes) or for strict reference-parity studies.
         - ``"auto"`` (default): ``"adc"`` — the measured winner everywhere a
-          single chip can hold the codes.
-
-        The expansion is fully vectorized (one banded ``searchsorted`` instead
-        of a per-query python loop): output slot j of query q belongs to the
-        hit whose cumulative member count first exceeds j; its member is then
-        ``members[offsets[hit] + (j - slots_before_hit)]``.
+          single chip can hold the codes (``"adc+rerank"`` needs the raw
+          vectors, which PQ exists to avoid storing).
         """
         q = normalize_rows(jnp.asarray(queries))
         U = self.unique_codes.shape[0]
-        k_unique = min(max(k, 1), U)
         if method == "auto":
             method = "adc"
-        if method == "adc":
+        rerank = method == "adc+rerank"
+        if rerank and vectors is None:
+            raise ValueError("method='adc+rerank' requires the raw `vectors`")
+        n_slots = min(expand * k, self.n) if rerank else k
+        k_unique = min(max(n_slots, 1), U)
+        if method in ("adc", "adc+rerank"):
             from ..ops.pq import pq_search
 
             scores_u, idx_u = pq_search(
@@ -219,8 +245,33 @@ class HNSWPQIndex:
                 self.entry, q, k_unique, ef or max(self.ef_default, k_unique),
                 coarse_ids=self.coarse_ids,
             )
-        idx_u = np.asarray(idx_u)
-        scores_u = np.asarray(scores_u, np.float32)
+        out_scores, out_idx, valid, total = self._expand_members(
+            np.asarray(idx_u), np.asarray(scores_u, np.float32), n_slots
+        )
+        if rerank:
+            top_s, top_i = _rerank_members(
+                jnp.asarray(vectors), q, jnp.asarray(out_idx),
+                jnp.asarray(valid), k
+            )
+            out_scores = np.asarray(top_s, np.float32)
+            out_idx = np.asarray(top_i, np.int32)
+
+        for row in np.nonzero(total < k)[0]:  # rare: backfill (nnsearch.py:676-678)
+            fill = int(min(total[row], k))
+            missing = np.setdiff1d(np.arange(self.n), out_idx[row, :fill])[: k - fill]
+            out_idx[row, fill : fill + len(missing)] = missing
+        return jnp.asarray(out_scores[:, :k]), jnp.asarray(out_idx[:, :k])
+
+    def _expand_members(self, idx_u, scores_u, k):
+        """Vectorized rank-order group expansion to ``k`` member slots.
+
+        One banded ``searchsorted`` instead of a per-query python loop:
+        output slot j of query q belongs to the hit whose cumulative member
+        count first exceeds j; its member is then
+        ``members[offsets[hit] + (j - slots_before_hit)]``.
+        Returns (scores, idx, valid, total) as (Q, k) arrays + (Q,) totals.
+        """
+        U = self.unique_codes.shape[0]
         Q, ku = idx_u.shape
         offs, members = self.group_offsets, self.group_members
 
@@ -246,12 +297,7 @@ class HNSWPQIndex:
             np.int32
         )
         out_scores = np.where(valid, scores_u[qi, r], -np.inf).astype(np.float32)
-
-        for row in np.nonzero(total < k)[0]:  # rare: backfill (nnsearch.py:676-678)
-            fill = int(total[row])
-            missing = np.setdiff1d(np.arange(self.n), out_idx[row, :fill])[: k - fill]
-            out_idx[row, fill : fill + len(missing)] = missing
-        return jnp.asarray(out_scores), jnp.asarray(out_idx)
+        return out_scores, out_idx, valid, total
 
     def to_arrays(self):
         arrays = {

@@ -55,12 +55,13 @@ def main():
         "seconds": round(build_s, 1),
     }), flush=True)
 
-    for method in ("adc", "graph"):
+    for method in ("adc", "adc+rerank", "graph"):
+        kw = {"vectors": db} if method == "adc+rerank" else {}
         t0 = time.time()
-        s, ids = ix.search(queries, 100, method=method)
+        s, ids = ix.search(queries, 100, method=method, **kw)
         ids = np.asarray(ids)
         t1 = time.time()
-        s, ids2 = ix.search(queries, 100, method=method)
+        s, ids2 = ix.search(queries, 100, method=method, **kw)
         np.asarray(ids2)
         t2 = time.time()
         r10 = float(np.mean([

@@ -138,6 +138,28 @@ class TestHNSWPQ:
         assert r_adc >= r_flat - 0.05, (r_adc, r_flat)
         assert r_adc >= r_graph - 0.02, (r_adc, r_graph)
 
+    def test_adc_rerank_beats_adc_and_orders_exactly(self, data):
+        """`adc+rerank` gathers the expanded members' raw vectors and re-ranks
+        by exact inner product: recall must be >= the code-ordered adc route,
+        and the head of each row must agree with the exact scan whenever the
+        true neighbours are inside the candidate set."""
+        x, q, exact = data
+        ix = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64)
+        k = 10
+        s_a, i_a = ix.search(q, k)
+        s_r, i_r = ix.search(q, k, method="adc+rerank", vectors=x, expand=8)
+        r_a, r_r = recall_at(exact, i_a, k), recall_at(exact, i_r, k)
+        assert r_r >= r_a - 1e-9, (r_r, r_a)
+        assert r_r >= 0.9, r_r
+        # scores are exact inner products, sorted descending
+        s_r, i_r = np.asarray(s_r), np.asarray(i_r)
+        assert np.all(np.diff(s_r, axis=1) <= 1e-6)
+        expect = np.einsum("qd,qkd->qk", np.asarray(q), x[i_r])
+        np.testing.assert_allclose(s_r, expect, atol=1e-5)
+        # requires the raw vectors
+        with pytest.raises(ValueError):
+            ix.search(q, k, method="adc+rerank")
+
     def test_save_load(self, data, tmp_path):
         x, q, _ = data
         ix = build_hnsw_pq(x, M=4, Ks=16, m=4, ef_construction=16)
