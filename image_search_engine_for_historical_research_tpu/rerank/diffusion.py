@@ -76,9 +76,29 @@ class DiffusionOffline:
         return cls(z["trunc_ids"], z["scores"])
 
 
+# Above this many gallery bytes the one-call self-kNN cannot compile on a
+# 16 GB chip: the gallery enters the jit as BOTH the query and the db
+# parameter (the compile-time HBM check budgets each separately, it cannot
+# see they alias) and the chunked scan pads/copies it again — 28.7 GB at
+# 1M x 2048 f32, a measured compile-time OOM. The large path loops
+# query-row slices on the host against a single bf16 gallery copy instead:
+# peak HBM = gallery + one padded bf16 copy + a score tile (~8.6 GB at 1M).
+KNN_GRAPH_ONECALL_BYTES = 3 << 30
+KNN_GRAPH_QROWS = 8192
+
+
 def _knn_graph(vecs: jnp.ndarray, k: int):
     """(sims, ids) of the gallery against itself, self included at rank 0."""
-    return exact_topk(vecs, vecs, k, metric="ip")
+    N, D = vecs.shape
+    if N * D * vecs.dtype.itemsize <= KNN_GRAPH_ONECALL_BYTES:
+        return exact_topk(vecs, vecs, k, metric="ip")
+    db = vecs if vecs.dtype == jnp.bfloat16 else vecs.astype(jnp.bfloat16)
+    sims, ids = [], []
+    for s in range(0, N, KNN_GRAPH_QROWS):
+        sb, ib = exact_topk(db[s : s + KNN_GRAPH_QROWS], db, k, metric="ip")
+        sims.append(sb)
+        ids.append(ib)
+    return jnp.concatenate(sims, axis=0), jnp.concatenate(ids, axis=0)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -237,8 +257,12 @@ def build_diffusion_offline(
 
     Large galleries (> ``DIFFUSION_REGIME_MAX``, the reference's 120k regime
     switch at Reranking.py:212) require ``allow_large=True`` and should pass a
-    ``memory_budget_bytes`` (shrinks T) — the artifact streams to host float16
-    (``host_out`` defaults to True there; the online pass gathers rows on host).
+    ``memory_budget_bytes`` (shrinks T) — by default the artifact streams to
+    host float16 (``host_out=True``; the online pass gathers rows on host).
+    Passing ``host_out=False, score_dtype=np.float16`` instead keeps the
+    budgeted artifact in HBM for the fast fully-jitted online pass — at 1M a
+    3 GB budget gives T=512 next to a bf16 gallery. Pass the gallery as
+    bfloat16 at this scale: an f32 copy alone is half of HBM (CLAUDE.md).
     """
     N = vecs.shape[0]
     if N > DIFFUSION_REGIME_MAX and not allow_large:

@@ -38,32 +38,59 @@ def main():
     p.add_argument("--q", type=int, default=70)
     p.add_argument("--kd", type=int, default=50)
     p.add_argument("--trunc", type=int, default=2000)
-    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--batch", type=int, default=None,
+                   help="CG batch rows (default 256, 1024 beyond-regime)")
+    p.add_argument("--budget-gb", type=float, default=3.0,
+                   help="artifact memory budget for the beyond-regime path")
+    p.add_argument("--host-artifact", action="store_true",
+                   help="stream the artifact to host f16 instead of keeping "
+                        "the budgeted (N, T) arrays in HBM")
     args = p.parse_args()
 
-    db = clustered_db(jax.random.PRNGKey(0), args.n, args.d)
+    large = args.n > 120_000
+    batch = args.batch or (1024 if large else 256)
+    # beyond-regime galleries must be bf16: an f32 1M x 2048 copy is half of
+    # HBM before the bf16 working set and the (N, T) artifact even exist
+    db = clustered_db(
+        jax.random.PRNGKey(0), args.n, args.d,
+        dtype=jnp.bfloat16 if large else None,
+    )
     np.asarray(db[:1, :1])
     queries = db[: args.q]
 
     t0 = time.time()
     off = build_diffusion_offline(
-        db, n_trunc=args.trunc, kd=args.kd, batch=args.batch,
-        allow_large=args.n > 120_000,
+        db, n_trunc=args.trunc, kd=args.kd, batch=batch,
+        allow_large=large,
+        memory_budget_bytes=int(args.budget_gb * 2**30) if large else None,
+        host_out=(True if args.host_artifact else (False if large else None)),
+        score_dtype=np.float16 if large else None,
     )
     build_s = time.time() - t0
     print(json.dumps({
-        "stage": "offline", "N": args.n, "kd": args.kd, "T": args.trunc,
+        "stage": "offline", "N": args.n, "kd": args.kd,
+        "T": int(off.trunc_ids.shape[1]),
         "seconds": round(build_s, 1), "host_artifact": bool(off.on_host),
     }), flush=True)
 
-    ids = jnp.asarray(off.trunc_ids)
-    sc = jnp.asarray(off.scores, jnp.float32)
+    if off.on_host:
+        from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+            diffusion_online_scores_hosted,
+        )
+
+        def online():
+            return diffusion_online_scores_hosted(off, db, queries, k_query=3)
+    else:
+        ids = jnp.asarray(off.trunc_ids)
+        sc = jnp.asarray(off.scores)
+
+        def online():
+            return diffusion_online_scores(ids, sc, db, queries, k_query=3)
+
     t0 = time.time()
-    s = diffusion_online_scores(ids, sc, db, queries, k_query=3)
-    np.asarray(s[:1, :1])
+    np.asarray(online()[:1, :1])
     t1 = time.time()
-    s = diffusion_online_scores(ids, sc, db, queries, k_query=3)
-    np.asarray(s[:1, :1])
+    np.asarray(online()[:1, :1])
     t2 = time.time()
     print(json.dumps({
         "stage": "online", "Q": args.q,

@@ -203,6 +203,32 @@ class TestDiffusionAtScale:
         top_host = np.argsort(-s_host, axis=1)[:, :10]
         assert (top_dev[:, 0] == top_host[:, 0]).all()
 
+    def test_chunked_knn_graph_matches_onecall(self, monkeypatch):
+        """The beyond-HBM self-kNN path (host loop of query slices against a
+        bf16 gallery) must agree with the one-call f32 path: same top-1
+        (self) everywhere and near-total neighbour overlap (bf16 scoring may
+        swap near-ties)."""
+        from image_search_engine_for_historical_research_tpu.rerank import diffusion
+
+        v = self._vecs(n=320, d=32)  # 320 % 128 != 0: remainder chunk covered
+        k = 10
+        s_ref, i_ref = diffusion._knn_graph(v, k)
+        monkeypatch.setattr(diffusion, "KNN_GRAPH_ONECALL_BYTES", 0)
+        monkeypatch.setattr(diffusion, "KNN_GRAPH_QROWS", 128)
+        s_chk, i_chk = diffusion._knn_graph(v, k)
+        assert s_chk.shape == (320, k) and i_chk.shape == (320, k)
+        np.testing.assert_array_equal(
+            np.asarray(i_chk[:, 0]), np.asarray(i_ref[:, 0])
+        )
+        overlap = np.mean([
+            len(np.intersect1d(a, b)) / k
+            for a, b in zip(np.asarray(i_ref), np.asarray(i_chk))
+        ])
+        assert overlap >= 0.95
+        np.testing.assert_allclose(
+            np.asarray(s_chk), np.asarray(s_ref), rtol=2e-2, atol=2e-2
+        )
+
     def test_regime_guard(self):
         import jax.numpy as jnp
 
