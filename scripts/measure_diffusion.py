@@ -66,6 +66,10 @@ def main():
         host_out=(True if args.host_artifact else (False if large else None)),
         score_dtype=np.float16 if large else None,
     )
+    if not off.on_host:
+        # dispatch is async through the tunnel: force the concatenated
+        # artifact (one element forces the whole dependency chain)
+        np.asarray(off.scores.ravel()[-1:])
     build_s = time.time() - t0
     print(json.dumps({
         "stage": "offline", "N": args.n, "kd": args.kd,

@@ -151,6 +151,60 @@ def test_online_service_query(workspace, small_model, monkeypatch):
     assert status_headers["status"].startswith("400")
 
 
+def test_online_service_diffusion_rerank(workspace, small_model, monkeypatch):
+    """Serving with rerank='diffusion': the random-walk pass seeded from the
+    index shortlist (the reference only diffuses in its evaluation path,
+    Reranking.py:233-265 — never in online.py serving)."""
+    import jax.numpy as jnp
+
+    from image_search_engine_for_historical_research_tpu.cli import online
+    from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+        build_diffusion_offline,
+    )
+
+    root, db_paths, q_paths = workspace
+    monkeypatch.setattr(online, "load_network", lambda *a, **k: small_model)
+    args = online.build_parser().parse_args([
+        "--datasets", "db",
+        "--data-root", str(root / "data"),
+        "--matching-method", "L2",
+        "--outputs", str(root / "outputs"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--K", "5",
+    ])
+    service = online.make_service(args)
+    n = service.vecs.shape[0]
+    off_dev = build_diffusion_offline(
+        jnp.asarray(service.vecs), n_trunc=min(8, n), kd=min(6, n)
+    )
+    off_host = build_diffusion_offline(
+        jnp.asarray(service.vecs), n_trunc=min(8, n), kd=min(6, n), host_out=True
+    )
+
+    service.rerank = "diffusion"
+    for off in (off_dev, off_host):
+        service.diffusion_offline = off
+        results, timing = service.query_image(q_paths[0])
+        assert len(results) == 5
+        assert "class0" in results[0]["path"]
+        assert timing["rerank_s"] >= 0
+
+    with pytest.raises(ValueError, match="diffusion_offline"):
+        online_kwargs = dict(
+            model=service.model, index=service.index,
+            gallery_vecs=service.vecs, gallery_paths=service.paths,
+            rerank="diffusion",
+        )
+        type(service)(**online_kwargs)
+    with pytest.raises(ValueError, match="rerank mode"):
+        type(service)(
+            model=service.model, index=service.index,
+            gallery_vecs=service.vecs, gallery_paths=service.paths,
+            rerank="bogus",
+        )
+
+
 def test_benchmark_cli_revisited_protocol(workspace, small_model, monkeypatch, capsys):
     from image_search_engine_for_historical_research_tpu.cli import benchmark
     from image_search_engine_for_historical_research_tpu.data import datasets as ds_mod
