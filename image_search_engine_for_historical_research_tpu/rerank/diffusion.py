@@ -95,7 +95,12 @@ def _knn_graph(vecs: jnp.ndarray, k: int):
     db = vecs if vecs.dtype == jnp.bfloat16 else vecs.astype(jnp.bfloat16)
     sims, ids = [], []
     for s in range(0, N, KNN_GRAPH_QROWS):
-        sb, ib = exact_topk(db[s : s + KNN_GRAPH_QROWS], db, k, metric="ip")
+        # approx_max_k fuses into the producing matmul (~free) where the
+        # exact per-tile lax.top_k dominates the chunked scan at this scale
+        sb, ib = exact_topk(
+            db[s : s + KNN_GRAPH_QROWS], db, k, metric="ip",
+            approximate=True, recall_target=0.99,
+        )
         sims.append(sb)
         ids.append(ib)
     return jnp.concatenate(sims, axis=0), jnp.concatenate(ids, axis=0)
@@ -177,15 +182,24 @@ def _batched_trunc_cg(lap_nbr, lap_val, trunc_ids):
     return jax.vmap(solve_one)(trunc_ids)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _knn_and_solve(rows, vecs, lap_nbr, lap_val, k):
+@partial(jax.jit, static_argnames=("k", "approx"))
+def _knn_and_solve(rows, vecs, lap_nbr, lap_val, k, approx=False):
     """Fused per-batch self-kNN + truncated CG solve.
 
     Module-level jit with the gallery/Laplacian as *arguments*: a closure
     capturing them embeds ~1 GB of constants in the serialized module, which
     the tunnel's remote compile uploads at MB/s (CLAUDE.md gotcha — measured
-    as a 20-minute stall ending in a broken pipe at 120k)."""
-    _, tids = exact_topk(rows, vecs, k, metric="ip")
+    as a 20-minute stall ending in a broken pipe at 120k).
+
+    ``approx`` selects the fused ``approx_max_k`` support shortlist: the
+    support is a truncation choice, and the exact per-tile ``lax.top_k`` at
+    k=T over a 1M-row chunked scan dominates the whole offline build
+    (measured: the 1M sweep did not finish in an hour exact; ~minutes with
+    the fused path at recall_target 0.95)."""
+    _, tids = exact_topk(
+        rows, vecs, k, metric="ip",
+        approximate=approx, recall_target=0.95,
+    )
     return tids, _batched_trunc_cg(lap_nbr, lap_val, tids)
 
 
@@ -246,6 +260,8 @@ def build_diffusion_offline(
     score_dtype=None,
     memory_budget_bytes: int = None,
     allow_large: bool = False,
+    approx_support: bool = None,
+    progress_every: int = 0,
     mesh=None,
 ) -> DiffusionOffline:
     """Gallery-side diffusion (diffusion.py:52-84).
@@ -276,6 +292,10 @@ def build_diffusion_offline(
         host_out = N > DIFFUSION_REGIME_MAX
     if score_dtype is None:
         score_dtype = np.float16 if host_out else np.float32
+    if approx_support is None:
+        # beyond the reference regime the exact per-tile top_k at k=T
+        # dominates the sweep; the approx shortlist is ~matmul-cost
+        approx_support = N > DIFFUSION_REGIME_MAX
 
     T = min(n_trunc, N)
     if memory_budget_bytes is not None:
@@ -300,7 +320,8 @@ def build_diffusion_offline(
             )
         else:
             tids, sc = _knn_and_solve(
-                vecs[start : start + batch], vecs, lap_nbr, lap_val, T
+                vecs[start : start + batch], vecs, lap_nbr, lap_val, T,
+                approx=approx_support,
             )
         if host_out:
             ids_out.append(np.asarray(tids, np.int32))
@@ -308,6 +329,11 @@ def build_diffusion_offline(
         else:
             ids_out.append(tids)
             sc_out.append(sc.astype(score_dtype))
+        if progress_every and (start // batch) % progress_every == 0:
+            # back-pressure + visibility: force the latest piece so the
+            # dispatch queue cannot run unboundedly ahead of the device
+            np.asarray(sc_out[-1].ravel()[:1] if not host_out else sc_out[-1][:1, :1])
+            print(f">> diffusion offline rows {min(start + batch, N)}/{N}", flush=True)
     cat = np.concatenate if host_out else jnp.concatenate
     return DiffusionOffline(trunc_ids=cat(ids_out, axis=0), scores=cat(sc_out, axis=0))
 

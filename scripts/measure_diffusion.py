@@ -65,6 +65,7 @@ def main():
         memory_budget_bytes=int(args.budget_gb * 2**30) if large else None,
         host_out=(True if args.host_artifact else (False if large else None)),
         score_dtype=np.float16 if large else None,
+        progress_every=64 if large else 0,
     )
     if not off.on_host:
         # dispatch is async through the tunnel: force the concatenated
