@@ -154,6 +154,66 @@ def _laplacian_rows(vecs: jnp.ndarray, kd: int, mesh=None):
     return ids, val
 
 
+@jax.jit
+def _threshold_laplacian_stats(sims, ids):
+    """(thresh, dinv) for the vector-recompute solver.
+
+    ``u in knn(i)  <=>  sim(i, u) >= thresh_i`` (the kd-th neighbour sim), so
+    the mutual-kNN test needs only one (N, kd) gather — ``sims >= thresh[ids]``
+    — instead of ``_mutual_mask``'s (N, kd, kd) neighbour-list gather. Degrees
+    and dinv follow from the masked affinity exactly as in ``_laplacian_rows``.
+    """
+    thresh = sims[:, -1]
+    mutual = sims >= thresh[ids]
+    mutual = mutual.at[:, 0].set(False)
+    w = jnp.where(mutual, jnp.clip(sims, min=0.0) ** GAMMA, 0.0)
+    degrees = jnp.sum(w, axis=1) + 1e-12
+    return thresh, 1.0 / jnp.sqrt(degrees)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _knn_and_solve_vec(rows, vecs, thresh, dinv, k):
+    """Per-batch support kNN + truncated CG with the operator *recomputed*
+    from the support vectors on the MXU.
+
+    The table-driven ``_batched_trunc_cg`` is gather/sort/scatter-bound on
+    TPU: measured 4.9 s per 1024-row batch at (1M, T=512, kd=50) — an 80-min
+    sweep. Rebuilding each row's truncated operator as ``G = V V^T`` over the
+    gathered support vectors (contiguous row DMA + one batched matmul),
+    with mutuality via the kd-th-sim thresholds, measures **0.059 s** per
+    batch on the same shapes (scripts/ablate_cg_matvec.py) — the sweep
+    becomes ~matmul+HBM-bound. Semantics match the table path up to
+    float rounding of the threshold test at the kd-th-neighbour boundary."""
+    _, tids = exact_topk(
+        rows, vecs, k, metric="ip", approximate=True, recall_target=0.95,
+    )
+    T = tids.shape[1]
+
+    def solve_one(support):
+        V = vecs[support]
+        G = jax.lax.dot_general(
+            V, V, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        tau = thresh[support]
+        mutual = (G >= tau[:, None]) & (G >= tau[None, :])
+        mutual &= ~jnp.eye(T, dtype=bool)
+        w = jnp.where(mutual, jnp.clip(G, min=0.0) ** GAMMA, 0.0)
+        di = dinv[support]
+        S = (-ALPHA) * w * di[:, None] * di[None, :]
+
+        def matvec(v):
+            return v + S @ v
+
+        # support[0] is the row itself (the top-1 of approx_max_k is exact:
+        # the global max survives any bucketed max-reduction), so b = e0
+        b = jnp.zeros((T,), jnp.float32).at[0].set(1.0)
+        x, _ = jax.scipy.sparse.linalg.cg(matvec, b, tol=CG_TOL, maxiter=CG_MAXITER)
+        return x
+
+    return tids, jax.vmap(solve_one)(tids)
+
+
 def _batched_trunc_cg(lap_nbr, lap_val, trunc_ids):
     """Solve ``L|_s x = e1`` for every support row s (vmapped CG)."""
     N, kd = lap_nbr.shape
@@ -262,6 +322,7 @@ def build_diffusion_offline(
     allow_large: bool = False,
     approx_support: bool = None,
     progress_every: int = 0,
+    solver: str = None,
     mesh=None,
 ) -> DiffusionOffline:
     """Gallery-side diffusion (diffusion.py:52-84).
@@ -279,6 +340,12 @@ def build_diffusion_offline(
     budgeted artifact in HBM for the fast fully-jitted online pass — at 1M a
     3 GB budget gives T=512 next to a bf16 gallery. Pass the gallery as
     bfloat16 at this scale: an f32 copy alone is half of HBM (CLAUDE.md).
+
+    ``solver``: ``"recompute"`` (beyond-regime default) rebuilds each row's
+    truncated operator from its support vectors on the MXU — measured 83x
+    faster per batch than the gather/sort/scatter-bound ``"tables"`` CG at
+    (1M, T=512); ``"tables"`` (reference-regime and mesh default) walks the
+    precomputed adjacency lists exactly as ``get_laplacian`` does.
     """
     N = vecs.shape[0]
     if N > DIFFUSION_REGIME_MAX and not allow_large:
@@ -296,6 +363,13 @@ def build_diffusion_offline(
         # beyond the reference regime the exact per-tile top_k at k=T
         # dominates the sweep; the approx shortlist is ~matmul-cost
         approx_support = N > DIFFUSION_REGIME_MAX
+    if solver is None:
+        # "recompute" rebuilds each truncated operator from the support
+        # vectors on the MXU (80x faster per batch at 1M); "tables" is the
+        # adjacency-table CG kept for the reference regime and the mesh path
+        solver = "recompute" if N > DIFFUSION_REGIME_MAX and mesh is None else "tables"
+    if solver not in ("tables", "recompute"):
+        raise ValueError(f"unknown solver: {solver!r}")
 
     T = min(n_trunc, N)
     if memory_budget_bytes is not None:
@@ -304,7 +378,16 @@ def build_diffusion_offline(
         )
     kd = min(kd, N)
 
-    lap_nbr, lap_val = _laplacian_rows(vecs, kd, mesh=mesh)
+    if solver == "recompute":
+        # no adjacency tables and no (N, kd, kd) mutual-mask pass: the batch
+        # solver rebuilds each truncated operator from the vectors, so the
+        # graph stage only yields per-row thresholds + degree normalizers
+        sims, ids = _knn_graph(vecs, kd)
+        thresh, dinv = _threshold_laplacian_stats(sims, ids)
+        lap_nbr = lap_val = None
+        del sims, ids
+    else:
+        lap_nbr, lap_val = _laplacian_rows(vecs, kd, mesh=mesh)
     vecs_sharded = None
     if mesh is not None and N % mesh.devices.size == 0:
         from ..parallel import shard_batch
@@ -313,7 +396,11 @@ def build_diffusion_offline(
 
     ids_out, sc_out = [], []
     for start in range(0, N, batch):
-        if vecs_sharded is not None:
+        if solver == "recompute":
+            tids, sc = _knn_and_solve_vec(
+                vecs[start : start + batch], vecs, thresh, dinv, T
+            )
+        elif vecs_sharded is not None:
             tids, sc = _knn_and_solve_sharded(
                 vecs[start : start + batch], vecs_sharded, lap_nbr, lap_val,
                 T, mesh,

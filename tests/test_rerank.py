@@ -229,6 +229,34 @@ class TestDiffusionAtScale:
             np.asarray(s_chk), np.asarray(s_ref), rtol=2e-2, atol=2e-2
         )
 
+    def test_recompute_solver_matches_tables(self):
+        """The MXU vector-recompute CG (beyond-regime default) must agree
+        with the adjacency-table CG: same supports semantics, rankings equal
+        at the top."""
+        import jax.numpy as jnp
+
+        from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+            build_diffusion_offline, diffusion_online_scores,
+        )
+
+        v = self._vecs(n=320, d=32)
+        q = v[:6] + 0.01
+        tab = build_diffusion_offline(v, n_trunc=64, kd=12, solver="tables")
+        rec = build_diffusion_offline(v, n_trunc=64, kd=12, solver="recompute")
+        s_tab = np.asarray(diffusion_online_scores(tab.trunc_ids, tab.scores, v, q))
+        s_rec = np.asarray(diffusion_online_scores(rec.trunc_ids, rec.scores, v, q))
+        top_tab = np.argsort(-s_tab, axis=1)
+        top_rec = np.argsort(-s_rec, axis=1)
+        assert (top_tab[:, 0] == top_rec[:, 0]).all()
+        overlap = np.mean([
+            len(np.intersect1d(a[:10], b[:10])) / 10
+            for a, b in zip(top_tab, top_rec)
+        ])
+        assert overlap >= 0.9, overlap
+
+        with pytest.raises(ValueError, match="solver"):
+            build_diffusion_offline(v, n_trunc=64, kd=12, solver="bogus")
+
     def test_regime_guard(self):
         import jax.numpy as jnp
 
