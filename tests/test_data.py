@@ -106,3 +106,37 @@ class TestDatasets:
         paths, rel = data.path_all_jpg(str(tmp_path / "db"), str(tmp_path))
         assert len(paths) == 4
         assert all(r.startswith("db/") for r in rel)
+
+
+class TestSceneDatasets:
+    def test_scene_sfm_dataset_ingests(self, tmp_path):
+        from image_search_engine_for_historical_research_tpu.train import (
+            tuples_from_db_pickle,
+        )
+
+        pkl = synthetic.make_scene_sfm_dataset(
+            str(tmp_path), n_scenes=3, views_per_scene=3
+        )
+        ds = tuples_from_db_pickle(pkl, mode="train", nnum=1)
+        assert len(ds.images) == 9
+        assert len(ds.qpool) == 6  # consecutive view pairs per scene
+        assert all(os.path.exists(p) for p in ds.images)
+
+    def test_scene_revisited_shape(self, tmp_path):
+        d = synthetic.make_scene_revisited(str(tmp_path), n_scenes=2, db_views=4)
+        assert len(d["images"]) == 8 and len(d["qimages"]) == 2
+        g = d["gnd"][0]
+        assert len(g["easy"]) + len(g["hard"]) == 4
+        assert all(os.path.exists(p) for p in d["images"] + d["qimages"])
+
+    def test_scene_canvases_differ_but_views_share_structure(self):
+        rng = np.random.default_rng(0)
+        a = synthetic._scene_canvas(np.random.default_rng([1, 2, 3]), (96, 128))
+        b = synthetic._scene_canvas(np.random.default_rng([1, 2, 4]), (96, 128))
+        # identical global statistics, different patterns
+        assert abs(a.mean() - b.mean()) < 20
+        assert np.abs(a - b).mean() > 10
+        v1 = synthetic._scene_view(rng, a, (64, 96))
+        v2 = synthetic._scene_view(rng, a, (64, 96))
+        assert v1.shape == (64, 96, 3) and v1.dtype == np.uint8
+        assert not np.array_equal(v1, v2)
