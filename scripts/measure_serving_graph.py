@@ -1,0 +1,196 @@
+"""Serving e2e at 1M with the Pallas GRAPH shortlist + diffusion re-rank.
+
+The measured single-query serving pipeline so far used the exact bf16 scan as
+its shortlist (scripts/measure_serving_diffusion.py: 11.6 ms/query e2e). The
+exact scan is HBM-bound at ~5.9 ms for a single query (it must stream the full
+4 GB bf16 gallery once); the Pallas beam kernel touches only ~50 MB of
+neighbor rows and measures 2.97 ms single-query at recall@100 = 1.0
+(BASELINE.md crossover study). This script measures the composition the
+crossover study predicts is optimal for single-query online serving
+(online.py:107-159 protocol): extract -> Pallas graph shortlist -> diffusion
+random-walk re-rank, ONE jitted program.
+
+Stages (all on one chip, sequential):
+  1. TPU graph build over 1M x 2048 clustered bf16 (~8-12 min).
+  2. Diffusion offline artifact, 3 GB device budget (~9 min).
+  3. Fused serve loop, scan-slope timing.
+
+Usage: python scripts/measure_serving_graph.py [--n 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _force(x):
+    return np.asarray(x.ravel()[:1])
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from synth_data import clustered_db
+
+    from image_search_engine_for_historical_research_tpu.index.base import (
+        normalize_rows,
+    )
+    from image_search_engine_for_historical_research_tpu.index.graph_build import (
+        build_hnsw_tpu,
+    )
+    from image_search_engine_for_historical_research_tpu.models import init_network
+    from image_search_engine_for_historical_research_tpu.models.extract import (
+        multiscale_descriptor,
+    )
+    from image_search_engine_for_historical_research_tpu.ops.pallas_graph import (
+        pallas_beam_search,
+    )
+    from image_search_engine_for_historical_research_tpu.ops.topk import exact_topk
+    from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+        build_diffusion_offline,
+    )
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--kd", type=int, default=50)
+    p.add_argument("--ef", type=int, default=100)
+    p.add_argument("--k-candidates", type=int, default=96)
+    p.add_argument("--budget-gb", type=float, default=3.0)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--interpret", action="store_true",
+                   help="CPU smoke mode: interpret the Pallas kernel")
+    args = p.parse_args()
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+
+    model = init_network({"architecture": "resnet101"}, rng=jax.random.PRNGKey(0))
+    db = clustered_db(jax.random.PRNGKey(1), args.n, 2048, dtype=jnp.bfloat16)
+    _force(db)
+    image = jax.random.uniform(
+        jax.random.PRNGKey(2), (1, args.height, args.width, 3), jnp.float32
+    )
+
+    t0 = time.perf_counter()
+    ix = build_hnsw_tpu(db, m=16, normalize=False, k_candidates=args.k_candidates)
+    _force(ix.nbr0)
+    print(
+        json.dumps(
+            {"stage": "graph_build", "N": args.n,
+             "seconds": round(time.perf_counter() - t0, 1)}
+        ),
+        flush=True,
+    )
+
+    t0 = time.perf_counter()
+    off = build_diffusion_offline(
+        db, kd=args.kd, batch=1024, allow_large=True,
+        memory_budget_bytes=int(args.budget_gb * 2**30),
+        host_out=False, score_dtype=np.float16, progress_every=256,
+    )
+    _force(off.scores)
+    print(
+        json.dumps(
+            {"stage": "diffusion_offline", "N": args.n,
+             "T": int(off.trunc_ids.shape[1]),
+             "seconds": round(time.perf_counter() - t0, 1)}
+        ),
+        flush=True,
+    )
+
+    # All large arrays travel as jit ARGUMENTS (CLAUDE.md tunnel gotcha).
+    def serve(params, img, vectors, nbr0, coarse, oi, os_):
+        # extract (single scale, the online.py latency protocol) ...
+        desc = multiscale_descriptor(model.module, params, img, scales=(1.0,))
+        qn = normalize_rows(desc).astype(jnp.float32)
+        # ... Pallas graph shortlist (coarse matmul seed -> beam) ...
+        cvecs = vectors[coarse].astype(qn.dtype)
+        _, top_c = jax.lax.top_k(qn @ cvecs.T, 1)
+        starts = coarse[top_c[:, 0]]
+        _, ids = pallas_beam_search(vectors, nbr0, qn, starts, ef=args.ef, interpret=args.interpret)
+        seeds = ids[0, :3]
+        # ... diffusion online combine (3 artifact rows, scatter-add, top-K)
+        sims = (vectors[seeds] @ qn[0].astype(vectors.dtype)).astype(jnp.float32)
+        w = jnp.clip(sims, min=0.0) ** 3
+        rows_v = os_[seeds].astype(jnp.float32) * w[:, None]
+        dense = jnp.zeros((vectors.shape[0],), jnp.float32)
+        dense = dense.at[oi[seeds].ravel()].add(rows_v.ravel())
+        _, top = jax.lax.top_k(dense[None, :], args.k)
+        return top
+
+    ix_args = (ix.vectors, ix.nbr0, ix.coarse_ids, off.trunc_ids, off.scores)
+
+    # sanity: graph shortlist seeds vs exact-scan seeds for the test image
+    @jax.jit
+    def shortlist(params, img, vectors, nbr0, coarse):
+        desc = multiscale_descriptor(model.module, params, img, scales=(1.0,))
+        qn = normalize_rows(desc).astype(jnp.float32)
+        cvecs = vectors[coarse].astype(qn.dtype)
+        _, top_c = jax.lax.top_k(qn @ cvecs.T, 1)
+        starts = coarse[top_c[:, 0]]
+        _, ids = pallas_beam_search(vectors, nbr0, qn, starts, ef=args.ef, interpret=args.interpret)
+        _, ex = exact_topk(qn, vectors, 10, matmul_dtype=jnp.bfloat16)
+        return ids[0, :10], ex[0]
+
+    g10, e10 = map(np.asarray, shortlist(model.params, image, *ix_args[:3]))
+    print(
+        json.dumps(
+            {"stage": "sanity",
+             "graph_top3_in_exact_top10":
+                 len(set(map(int, g10[:3])) & set(map(int, e10))),
+             "graph_top10_overlap":
+                 len(set(map(int, g10)) & set(map(int, e10)))}
+        ),
+        flush=True,
+    )
+
+    def make_loop(R):
+        @jax.jit
+        def loop(params, img, *arrs):
+            def body(carry, _):
+                r = serve(params, carry, *arrs)
+                return carry + jnp.mean(r.astype(carry.dtype)) * 1e-12, None
+
+            c, _ = jax.lax.scan(body, img, None, length=R)
+            return c
+
+        return loop
+
+    times = {}
+    for R in (1, 3):
+        loop = make_loop(R)
+        _force(loop(model.params, image, *ix_args))
+        times[R] = min(
+            _timed(lambda: _force(loop(model.params, image, *ix_args)))
+            for _ in range(3)
+        )
+    per_query = (times[3] - times[1]) / 2
+    print(
+        json.dumps(
+            {"stage": "online_e2e_graph_diffusion", "N": args.n,
+             "scales": "ss", "ef": args.ef,
+             "ms_per_query": round(per_query * 1e3, 1)}
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
