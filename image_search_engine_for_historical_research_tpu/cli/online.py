@@ -30,6 +30,11 @@ def build_parser():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--no-rerank", action="store_true")
+    p.add_argument("--coalesce", type=int, default=0, metavar="MAX_BATCH",
+                   help="micro-batch concurrent requests into one device "
+                        "program (serving.batching; implies a threaded "
+                        "server). 0 = off (the reference's one-query-at-a-"
+                        "time behavior)")
     return p
 
 
@@ -62,7 +67,12 @@ def make_service(args) -> SearchService:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    serve(make_service(args), args.host, args.port)
+    service = make_service(args)
+    if args.coalesce:
+        from ..serving.batching import CoalescingService
+
+        service = CoalescingService(service, max_batch=args.coalesce)
+    serve(service, args.host, args.port, threaded=bool(args.coalesce))
 
 
 if __name__ == "__main__":

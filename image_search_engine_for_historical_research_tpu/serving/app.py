@@ -26,6 +26,34 @@ from ..models.extract import extract_vectors_single, make_extract_fn
 from ..rerank.qe import qge1
 
 
+def _diffusion_shortlist_scores_batch(ids3, qvecs, vecs_dev, off_ids, off_scores, k_out):
+    """Batched diffusion online pass: ``ids3`` (B, s) seed ids per query.
+
+    vmapped body of ``_diffusion_shortlist_scores`` + fused top-K — one device
+    program for a whole coalesced micro-batch (see ``serving.batching``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("n", "full", "k_out"))
+    def run(ids3, qvecs, vecs, oi, os_, n, full, k_out):
+        def one(ids, q, oi_q, os_q):
+            sims = vecs[ids] @ q
+            w = jnp.clip(sims, min=0.0) ** 3
+            rows_i = oi[ids] if full else oi_q          # (s, T)
+            rows_v = (os_[ids] if full else os_q).astype(jnp.float32) * w[:, None]
+            return jnp.zeros((n,), jnp.float32).at[rows_i.ravel()].add(rows_v.ravel())
+
+        dense = jax.vmap(one)(ids3, qvecs, oi if not full else ids3,
+                              os_ if not full else ids3)
+        return jax.lax.top_k(dense, k_out)
+
+    full = off_ids.shape[0] == vecs_dev.shape[0]
+    return run(ids3, qvecs, vecs_dev, off_ids, off_scores,
+               vecs_dev.shape[0], full, k_out)
+
+
 def _diffusion_shortlist_scores(ids3, qvec, vecs_dev, off_ids, off_scores):
     """Diffusion online pass seeded from the index shortlist.
 
@@ -166,6 +194,98 @@ class SearchService:
         }
         return results, timing
 
+    # batch-slot sizes: one compilation each, smallest slot >= batch is used
+    BATCH_SLOTS = (1, 2, 4, 8, 16, 32)
+
+    def query_batch(self, image_paths: Sequence[str]):
+        """Batched serving path: one device program per stage for B queries.
+
+        The TPU-first serving design the reference cannot express: its Flask
+        app (online.py:107-159) is strictly one-query-at-a-time, but on TPU
+        the exact scan costs ~the same for 1 or 70 queries (HBM-bound;
+        BASELINE.md 0.096 ms/q batched vs 5.9 ms single at 1M), and batched
+        extraction runs ~2.2x more img/s than single dispatches. Concurrent
+        requests are therefore coalesced (``serving.batching``) and served
+        here as ONE batch.
+
+        All queries land on one fixed square canvas (side = ``image_size``,
+        masked), and the batch is padded up to the next slot size by
+        replicating the first image, so the whole serving path compiles at
+        most ``len(BATCH_SLOTS)`` times. Returns a list of
+        ``(results, timing)`` in input order; results are identical to
+        ``query_image`` of each path individually (tests/test_e2e.py).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.images import load_test_image
+
+        B = len(image_paths)
+        if B == 0:
+            return []
+        slot = next((s for s in self.BATCH_SLOTS if s >= B), B)
+
+        t0 = time.time()
+        side = ((self.image_size + 31) // 32) * 32
+        images = np.zeros((slot, side, side, 3), np.float32)
+        mask = np.zeros((slot, side, side), bool)
+        for b, p in enumerate(image_paths):
+            arr = load_test_image(p, self.image_size)
+            h, w = arr.shape[:2]
+            images[b, :h, :w] = arr
+            mask[b, :h, :w] = True
+        for b in range(B, slot):  # pad slots: replicate query 0 (never zeros:
+            images[b] = images[0]  # an all-false mask breaks masked pooling)
+            mask[b] = mask[0]
+        qvecs = np.asarray(
+            self._extract_fn(
+                self.model.params, jnp.asarray(images), jnp.asarray(mask)
+            )
+        )[:B]
+        t1 = time.time()
+        scores, idx = self.index.search(jnp.asarray(qvecs), self.K)
+        idx = np.asarray(idx)[:B]
+        t2 = time.time()
+        if self.rerank == "qge1":
+            ranks = qge1(jnp.asarray(idx), jnp.asarray(qvecs),
+                         self._vecs_dev, k=min(3, idx.shape[1]),
+                         out_k=min(self.K, self.vecs.shape[0]))
+            final = np.asarray(ranks)[:, : self.K]
+        elif self.rerank == "diffusion":
+            off = self.diffusion_offline
+            k_seed = min(3, idx.shape[1])
+            seed_ids = idx[:, :k_seed]
+            if off.on_host:
+                oi = jnp.asarray(off.trunc_ids[seed_ids])    # (B, s, T)
+                os_ = jnp.asarray(off.scores[seed_ids])
+            else:
+                oi, os_ = off.trunc_ids, off.scores
+            _, top = _diffusion_shortlist_scores_batch(
+                jnp.asarray(seed_ids), jnp.asarray(qvecs), self._vecs_dev,
+                oi, os_, self.K,
+            )
+            final = np.asarray(top)
+        else:
+            final = idx
+        t3 = time.time()
+        timing = {
+            "extract_s": t1 - t0,
+            "search_s": t2 - t1,
+            "rerank_s": t3 - t2,
+            "batch": B,
+            "slot": slot,
+        }
+        out = []
+        for b in range(B):
+            out.append((
+                [
+                    {"rank": r, "path": self.paths[i], "id": int(i)}
+                    for r, i in enumerate(final[b][: self.K])
+                ],
+                dict(timing),
+            ))
+        return out
+
 
 _PAGE = """<!doctype html>
 <html><head><title>Historical Image Search</title></head>
@@ -279,10 +399,26 @@ def make_wsgi_app(service: SearchService):
     return app
 
 
-def serve(service: SearchService, host: str = "0.0.0.0", port: int = 8080):
-    """Blocking dev server (the reference binds 0.0.0.0, online.py:163)."""
-    from wsgiref.simple_server import make_server
+def serve(
+    service: SearchService,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    threaded: bool = False,
+):
+    """Blocking dev server (the reference binds 0.0.0.0, online.py:163).
 
-    httpd = make_server(host, port, make_wsgi_app(service))
+    ``threaded=True`` handles each request on its own thread — required for
+    ``serving.batching.CoalescingService`` to actually see concurrent
+    requests (a serial server hands it one query at a time and nothing
+    coalesces)."""
+    import socketserver
+    from wsgiref.simple_server import WSGIServer, make_server
+
+    cls = WSGIServer
+    if threaded:
+        class cls(socketserver.ThreadingMixIn, WSGIServer):  # noqa: N801
+            daemon_threads = True
+
+    httpd = make_server(host, port, make_wsgi_app(service), server_class=cls)
     print(f"serving on http://{host}:{port}")
     httpd.serve_forever()

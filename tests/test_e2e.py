@@ -33,6 +33,27 @@ def small_model(monkeypatch_module=None):
     return common.load_network(None, "resnet50")
 
 
+def _ensure_store(root, small_model, monkeypatch):
+    """Build the feature store + index once (idempotent) so service tests can
+    run standalone, not only after the offline CLI test."""
+    if os.path.exists(root / "outputs" / "features" / "db_path_feature.npz"):
+        return
+    from image_search_engine_for_historical_research_tpu.cli import common, offline
+
+    monkeypatch.setattr(common, "load_network", lambda *a, **k: small_model)
+    monkeypatch.setattr(offline, "load_network", lambda *a, **k: small_model)
+    assert offline.main([
+        "--datasets", "db",
+        "--data-root", str(root / "data"),
+        "--matching-method", "L2",
+        "--ifgenerate",
+        "--outputs", str(root / "outputs"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--batch-size", "4",
+    ]) == 0
+
+
 def test_offline_cli_builds_store_and_index(workspace, small_model, monkeypatch):
     from image_search_engine_for_historical_research_tpu.cli import common, offline
 
@@ -163,6 +184,7 @@ def test_online_service_diffusion_rerank(workspace, small_model, monkeypatch):
     )
 
     root, db_paths, q_paths = workspace
+    _ensure_store(root, small_model, monkeypatch)
     monkeypatch.setattr(online, "load_network", lambda *a, **k: small_model)
     args = online.build_parser().parse_args([
         "--datasets", "db",
@@ -203,6 +225,106 @@ def test_online_service_diffusion_rerank(workspace, small_model, monkeypatch):
             gallery_vecs=service.vecs, gallery_paths=service.paths,
             rerank="bogus",
         )
+
+
+def test_query_batch_matches_sequential(workspace, small_model, monkeypatch):
+    """query_batch (the coalesced serving path) returns the same ranked ids
+    as query_image per path, in every rerank mode."""
+    import jax.numpy as jnp
+
+    from image_search_engine_for_historical_research_tpu.cli import online
+    from image_search_engine_for_historical_research_tpu.rerank.diffusion import (
+        build_diffusion_offline,
+    )
+
+    root, db_paths, q_paths = workspace
+    _ensure_store(root, small_model, monkeypatch)
+    monkeypatch.setattr(online, "load_network", lambda *a, **k: small_model)
+    args = online.build_parser().parse_args([
+        "--datasets", "db",
+        "--data-root", str(root / "data"),
+        "--matching-method", "L2",
+        "--outputs", str(root / "outputs"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--K", "5",
+    ])
+    service = online.make_service(args)
+    n = service.vecs.shape[0]
+    off = build_diffusion_offline(
+        np.asarray(service.vecs), n_trunc=min(8, n), kd=min(6, n)
+    )
+    for mode, artifact in ((None, None), ("qge1", None), ("diffusion", off)):
+        service.rerank = mode
+        service.diffusion_offline = artifact
+        seq = [service.query_image(p) for p in q_paths]
+        got = service.query_batch(list(q_paths))
+        assert len(got) == len(q_paths)
+        for (r_seq, _), (r_bat, t_bat) in zip(seq, got):
+            assert [x["id"] for x in r_bat] == [x["id"] for x in r_seq], mode
+        assert got[0][1]["batch"] == len(q_paths)
+    assert service.query_batch([]) == []
+
+
+def test_coalescing_service_concurrent(workspace, small_model, monkeypatch):
+    """Concurrent query_image calls through CoalescingService coalesce into
+    fewer device batches and return per-request results identical to the
+    direct service."""
+    import threading
+
+    from image_search_engine_for_historical_research_tpu.cli import online
+    from image_search_engine_for_historical_research_tpu.serving.batching import (
+        CoalescingService,
+    )
+
+    root, db_paths, q_paths = workspace
+    _ensure_store(root, small_model, monkeypatch)
+    monkeypatch.setattr(online, "load_network", lambda *a, **k: small_model)
+    args = online.build_parser().parse_args([
+        "--datasets", "db",
+        "--data-root", str(root / "data"),
+        "--matching-method", "L2",
+        "--outputs", str(root / "outputs"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--K", "5",
+    ])
+    service = online.make_service(args)
+    expected = {p: [x["id"] for x in service.query_image(p)[0]] for p in q_paths}
+
+    cs = CoalescingService(service, max_batch=8, max_wait_ms=200.0)
+    # the wrapper keeps the SearchService surface (WSGI app compatibility)
+    assert cs.K == service.K
+    assert cs.resolve_image_path(0) == service.resolve_image_path(0)
+
+    reqs = [p for p in q_paths for _ in range(2)]  # 6 concurrent requests
+    out = {}
+    errs = []
+
+    def worker(i, p):
+        try:
+            results, timing = cs.query_image(p)
+            out[i] = (p, [x["id"] for x in results], timing)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(i, p)) for i, p in enumerate(reqs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs
+    assert len(out) == len(reqs)
+    for i, p in enumerate(reqs):
+        assert out[i][1] == expected[p], p
+    # coalescing actually happened: fewer device batches than requests
+    assert cs.requests_served == len(reqs)
+    assert cs.batches_run < len(reqs)
+    cs.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        cs.query_image(q_paths[0])
 
 
 def test_benchmark_cli_revisited_protocol(workspace, small_model, monkeypatch, capsys):
