@@ -229,8 +229,16 @@ class SearchService:
         side = ((self.image_size + 31) // 32) * 32
         images = np.zeros((slot, side, side, 3), np.float32)
         mask = np.zeros((slot, side, side), bool)
-        for b, p in enumerate(image_paths):
-            arr = load_test_image(p, self.image_size)
+        # decode/resize in parallel: PIL releases the GIL, and a serial loop
+        # here would serialize ~tens of ms per image ahead of the device call
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not hasattr(self, "_load_pool"):
+            self._load_pool = ThreadPoolExecutor(max_workers=8)
+        arrays = list(self._load_pool.map(
+            lambda p: load_test_image(p, self.image_size), image_paths
+        ))
+        for b, arr in enumerate(arrays):
             h, w = arr.shape[:2]
             images[b, :h, :w] = arr
             mask[b, :h, :w] = True
