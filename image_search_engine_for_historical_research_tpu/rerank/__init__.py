@@ -21,6 +21,7 @@ from .geometric import (
     make_verifier,
     rerank_by_inliers,
     sift_extract,
+    sift_extract_tpu,
     sift_offline,
     sift_rerank,
 )
@@ -33,5 +34,5 @@ __all__ = [
     "kr_rerank", "kr_rerank_scores",
     "LocalFeatures", "loftr_rerank", "make_adalam_verifier", "make_verifier",
     "rerank_by_inliers",
-    "sift_extract", "sift_offline", "sift_rerank",
+    "sift_extract", "sift_extract_tpu", "sift_offline", "sift_rerank",
 ]

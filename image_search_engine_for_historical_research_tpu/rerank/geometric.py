@@ -101,22 +101,75 @@ def sift_extract(
     return out
 
 
+def sift_extract_tpu(
+    paths: Sequence[str],
+    resize: Optional[Tuple[int, int]] = (1000, 1000),
+    max_kpts: int = MAX_KPTS,
+    batch_size: int = 8,
+    n_octaves: int = 4,
+) -> List[LocalFeatures]:
+    """TPU SIFT for a batch of images (``ops.sift``, one jitted program per
+    batch) — the device-side replacement for per-image host OpenCV
+    (cv2 ~50 ms/image single-threaded = days at a 1M gallery). Keypoint
+    ``scale`` is stored as 2*sigma; AdaLAM consumes only scale RATIOS, so any
+    consistent convention works — do not mix cv2- and tpu-extracted stores."""
+    from PIL import Image
+
+    from ..ops import sift as sift_ops
+
+    feats: List[LocalFeatures] = []
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start : start + batch_size]
+        imgs = []
+        for p in chunk:
+            im = Image.open(p).convert("L")
+            if resize is not None:
+                im = im.resize(resize)  # (W, H) — same convention as cv2.resize
+            imgs.append(np.asarray(im, np.float32) / 255.0)
+        arr = np.stack(imgs)
+        for f in sift_ops.sift_extract_batch(arr, max_kpts, n_octaves):
+            lf = LocalFeatures(
+                xy=f["xy"].astype(np.float32),
+                scale=(2.0 * f["scale"]).astype(np.float32),
+                angle=f["angle"].astype(np.float32),
+                desc=f["desc"].astype(np.float32),
+                count=int(f["count"]),
+                shape=arr.shape[1:3],
+            )
+            feats.append(lf)
+    return feats
+
+
 def sift_offline(
     paths: Sequence[str],
     store_dir: str,
     resize=(1000, 1000),
     max_kpts: int = MAX_KPTS,
+    backend: str = "cv2",
+    batch_size: int = 8,
 ) -> List[str]:
     """Persist SIFT features per image (the SAHA offline half the reference
-    loads from .npy files, Reranking.py:63-77)."""
+    loads from .npy files, Reranking.py:63-77). ``backend="tpu"`` extracts
+    whole batches on device via ``ops.sift`` instead of host OpenCV."""
     os.makedirs(store_dir, exist_ok=True)
     out = []
+    missing = []
     for p in paths:
         name = os.path.splitext(os.path.basename(p))[0]
         dst = os.path.join(store_dir, name + ".npz")
         if not os.path.exists(dst):
-            sift_extract(p, resize, max_kpts).save(dst)
+            missing.append((p, dst))
         out.append(dst)
+    if missing:
+        if backend == "tpu":
+            feats = sift_extract_tpu(
+                [p for p, _ in missing], resize, max_kpts, batch_size
+            )
+            for (_, dst), lf in zip(missing, feats):
+                lf.save(dst)
+        else:
+            for p, dst in missing:
+                sift_extract(p, resize, max_kpts).save(dst)
     return out
 
 
@@ -320,6 +373,7 @@ def sift_rerank(
     resize=(1000, 1000),
     verifier=None,
     pair_batch: int = 8,
+    backend: str = "cv2",
 ):
     """SAHA-style re-rank: verify each query against its top-b candidates
     (Reranking.py:37-116 online / :638-723 on-the-fly). ``ranks`` is row-major
@@ -337,17 +391,22 @@ def sift_rerank(
 
     cache: dict = {}
 
+    def extract_one(path):
+        if backend == "tpu":
+            return sift_extract_tpu([path], resize)[0]
+        return sift_extract(path, resize)
+
     def features(path):
         if path in cache:
             return cache[path]
         if store_dir is None:
-            f = sift_extract(path, resize)
+            f = extract_one(path)
         else:
             name = os.path.splitext(os.path.basename(path))[0]
             dst = os.path.join(store_dir, name + ".npz")
             if not os.path.exists(dst):
                 os.makedirs(store_dir, exist_ok=True)
-                sift_extract(path, resize).save(dst)
+                extract_one(path).save(dst)
             f = LocalFeatures.load(dst)
         cache[path] = f
         return f
