@@ -29,6 +29,9 @@ def build_parser():
     p.add_argument("--methods", default="qge",
                    help="comma list: qge,aqe,dba,kr,diffusion,sift,loftr")
     p.add_argument("--sift-store", default=None)
+    p.add_argument("--sift-backend", default="cv2", choices=["cv2", "tpu"],
+                   help="tpu = batched device SIFT (ops.sift) instead of "
+                        "per-image host OpenCV")
     p.add_argument("--loftr-ckpt", default=None,
                    help="released LoFTR ckpt (outdoor_ds.ckpt layout); random "
                         "weights with a warning if omitted")
@@ -85,7 +88,8 @@ def main(argv=None):
             qpaths = [cfg["qim_fname"](cfg, i) for i in range(cfg["nq"])]
             dpaths = [cfg["im_fname"](cfg, i) for i in range(cfg["n"])]
             ranks = rerank.sift_rerank(
-                qpaths, dpaths, idx, b=min(30, K), store_dir=args.sift_store
+                qpaths, dpaths, idx, b=min(30, K), store_dir=args.sift_store,
+                backend=args.sift_backend,
             )
             res = compute_map_revisited(ranks, cfg["gnd"], args.dataset)
         elif method == "loftr":

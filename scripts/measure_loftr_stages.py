@@ -167,17 +167,28 @@ def main():
         })
         print(json.dumps(rows[-1]), flush=True)
 
-    # count agreement f32 vs bf16 through the real module (full count path)
-    count_fn = loftr.make_batched_count_fn(m, variables)
-    c32 = int(np.asarray(count_fn(imgs[:1], imgs[1:]))[0])
-    v16 = cast_tree(variables, jnp.bfloat16)
-    c16 = int(np.asarray(
-        loftr.make_batched_count_fn(m, v16)(
-            imgs[:1].astype(jnp.bfloat16), imgs[1:].astype(jnp.bfloat16)
-        )
-    )[0])
-    print(json.dumps({"stage": "count_agreement", "f32": c32, "bf16_cast": c16}),
-          flush=True)
+    # full count path, f32 vs the bf16 fast path (compute_dtype; TPU-only —
+    # the CPU backend rejects bf16 x bf16 -> f32 dots): timing + agreement.
+    # Random weights produce no matches at thr=0.2, so agreement is checked
+    # at a permissive threshold where mutual maxima survive.
+    import dataclasses
+
+    m_lo, v_lo = loftr.init_matcher(image_shape=(H, W),
+                                    config=dataclasses.replace(cfg, thr=1e-6))
+    i0b = imgs[:1]
+    i1b = imgs[1:]
+    for dt_name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        fn = loftr.make_batched_count_fn(m_lo, v_lo, compute_dtype=dt)
+        c = int(np.asarray(fn(i0b, i1b))[0])
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn(i0b, i1b))
+            best = min(best, time.perf_counter() - t0)
+        print(json.dumps({
+            "stage": "count_path", "dtype": dt_name, "count": c,
+            "wall_ms_per_pair": round(best * 1e3, 1),
+        }), flush=True)
 
 
 if __name__ == "__main__":
