@@ -5,7 +5,7 @@ from .pooling import gem, mac, rmac, roipool, spoc
 from .losses import contrastive_loss, sos_loss, triplet_loss
 from .whiten import pcawhitenlearn, whitenapply, whitenlearn
 from .topk import exact_ranks, exact_scores, exact_topk
-from .sift import sift_extract_batch, sift_program
+from .sift import make_sharded_sift_fn, sift_extract_batch, sift_program
 
 __all__ = [
     "l2n", "powerlaw",
@@ -13,5 +13,5 @@ __all__ = [
     "contrastive_loss", "sos_loss", "triplet_loss",
     "pcawhitenlearn", "whitenapply", "whitenlearn",
     "exact_ranks", "exact_scores", "exact_topk",
-    "sift_extract_batch", "sift_program",
+    "make_sharded_sift_fn", "sift_extract_batch", "sift_program",
 ]

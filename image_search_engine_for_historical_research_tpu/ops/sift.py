@@ -431,3 +431,28 @@ def sift_extract_batch(
             "count": n,
         })
     return feats
+
+
+def make_sharded_sift_fn(
+    mesh,
+    hw: Tuple[int, int],
+    max_kpts: int = 1024,
+    n_octaves: int = 4,
+    axis: str = "data",
+):
+    """Batch-sharded SIFT over a device mesh: each chip runs the full pyramid
+    + keypoint program on its shard of the image batch (per-image work is
+    independent — no collectives at all). Mirrors
+    ``models.extract.make_sharded_extract_fn``; batch must be divisible by
+    the mesh axis size. Returns a jitted ``(B, H, W) -> field dict`` fn."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    budgets = default_budgets(max_kpts, n_octaves)
+    batch_sharded = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit, in_shardings=(batch_sharded,),
+             out_shardings=batch_sharded)
+    def fn(images):
+        return sift_program(images, n_octaves, budgets)
+
+    return fn

@@ -192,3 +192,29 @@ def test_sharded_extraction_matches_single_device(mesh, small_net):
     v_s = np.asarray(fn_s(net.params, images, mask))
     v_m = np.asarray(fn_m(net.params, images, mask))
     np.testing.assert_allclose(v_m, v_s, atol=2e-5)
+
+
+def test_sharded_sift_matches_single_device(mesh):
+    """Batch-sharded TPU SIFT equals the single-device program exactly
+    (per-image work is independent; sharding must not change anything)."""
+    from scipy import ndimage
+
+    from image_search_engine_for_historical_research_tpu.ops import sift
+
+    rng = np.random.default_rng(2)
+    imgs = []
+    for i in range(8):
+        base = ndimage.zoom(rng.uniform(0, 1, (16, 16)), 8, order=3)
+        base = (base - base.min()) / (np.ptp(base) + 1e-9)
+        imgs.append(base.astype(np.float32))
+    imgs = np.stack(imgs)                                  # (8, 128, 128)
+
+    budgets = sift.default_budgets(128, 3)
+    single = sift.sift_program(jnp.asarray(imgs), 3, budgets)
+    fn = sift.make_sharded_sift_fn(mesh, imgs.shape[1:], max_kpts=128,
+                                   n_octaves=3)
+    sharded = fn(jnp.asarray(imgs))
+    for k in ("xy", "scale", "angle", "desc", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(single[k]), rtol=1e-5, atol=1e-5
+        )
