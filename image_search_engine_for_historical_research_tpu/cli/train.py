@@ -50,6 +50,10 @@ def build_parser():
     p.add_argument("--test-datasets", default=None,
                    help="comma list of folder-labelled roots to evaluate "
                         "retrieval mAP on every --test-freq epochs")
+    p.add_argument("--test-whiten", default=None,
+                   help="db pickle ({cids|images, qidxs, pidxs}) to learn "
+                        "supervised whitening from each eval and report "
+                        "'+whiten' mAP rows (main_train.py:650-676,711-718)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -125,9 +129,14 @@ def main(argv=None):
     if args.test_datasets:
         from ..train import make_retrieval_eval
 
+        whiten_db = None
+        if args.test_whiten:
+            from ..train.tuples import whiten_db_from_pickle
+
+            whiten_db = whiten_db_from_pickle(args.test_whiten)
         eval_fn = make_retrieval_eval(
             _folder_eval_datasets(args.test_datasets.split(",")),
-            image_size=args.image_size, batch_size=8,
+            image_size=args.image_size, batch_size=8, whiten_db=whiten_db,
         )
     trainer = Trainer(model, dataset, cfg, eval_fn=eval_fn)
     if args.resume and trainer.resume():

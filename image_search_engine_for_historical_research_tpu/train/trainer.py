@@ -262,6 +262,7 @@ def make_retrieval_eval(
     scales=(1.0,),
     batch_size: int = 8,
     top_k: Optional[int] = None,
+    whiten_db: Optional[dict] = None,
 ):
     """Build the per-epoch retrieval-eval hook (main_train.py:625-719).
 
@@ -270,12 +271,29 @@ def make_retrieval_eval(
     returns. The hook extracts db+query vectors with the CURRENT weights,
     scores with the exact matcher, and reports mAP E/M/H per dataset
     (the reference logs these to tensorboard; here they land in
-    ``metrics.jsonl`` and ``EpochMetrics.eval_metrics``)."""
+    ``metrics.jsonl`` and ``EpochMetrics.eval_metrics``).
+
+    ``whiten_db``: ``{"images": [paths], "qidxs": ..., "pidxs": ...}`` —
+    the reference's ``--test-whiten`` path (main_train.py:650-676): learn
+    supervised whitening from the current weights' descriptors of a whiten
+    db and report additional ``{name}+whiten`` mAP rows (``:711-718``)."""
 
     def eval_fn(model):
         from ..evaluation import compute_map_revisited
         from ..index import build_flat
+        from ..ops.whiten import whitenapply, whitenlearn
         from ..models.extract import extract_vectors
+
+        lw = None
+        if whiten_db is not None:
+            wvecs = extract_vectors(
+                model, whiten_db["images"], image_size, scales=scales,
+                batch_size=batch_size,
+            )
+            lw = whitenlearn(
+                wvecs, np.asarray(whiten_db["qidxs"]),
+                np.asarray(whiten_db["pidxs"]),
+            )
 
         out = {}
         for name, d in datasets.items():
@@ -293,6 +311,17 @@ def make_retrieval_eval(
             out[f"{name}/mapE"] = float(res.mapE)
             out[f"{name}/mapM"] = float(res.mapM)
             out[f"{name}/mapH"] = float(res.mapH)
+            if lw is not None:
+                m, P = lw
+                _, ranks_w = build_flat(
+                    np.asarray(whitenapply(vecs, m, P))
+                ).search(np.asarray(whitenapply(qvecs, m, P)), k)
+                res_w = compute_map_revisited(
+                    np.asarray(ranks_w), d["gnd"], name + "+whiten"
+                )
+                out[f"{name}+whiten/mapE"] = float(res_w.mapE)
+                out[f"{name}+whiten/mapM"] = float(res_w.mapM)
+                out[f"{name}+whiten/mapH"] = float(res_w.mapH)
         return out
 
     return eval_fn

@@ -182,6 +182,46 @@ def tuples_from_db_pickle(
     )
 
 
+def whiten_db_from_pickle(
+    db_path: str,
+    ims_root: Optional[str] = None,
+    name: Optional[str] = None,
+) -> dict:
+    """Read the reference's ``{name}-whiten.pkl`` (main_train.py:656-661): a
+    FLAT dict ``{cids, qidxs, pidxs}`` (no train/val split). Returns the
+    ``whiten_db`` dict ``make_retrieval_eval`` consumes: image paths resolved
+    per dataset family (like ``tuples_from_db_pickle``) + the matched
+    query/positive index pairs ``whitenlearn`` needs. A pre-resolved
+    ``{"images": [...]}`` pickle is accepted as-is."""
+    import pickle
+
+    from ..data.images import cid2filename
+
+    with open(db_path, "rb") as f:
+        db = pickle.load(f)
+    if "images" in db:
+        images = list(db["images"])
+    else:
+        name = name or os.path.splitext(os.path.basename(db_path))[0]
+        name = name.replace("-whiten", "")
+        if ims_root is None:
+            ims_root = os.path.join(
+                os.path.dirname(os.path.abspath(db_path)), "ims"
+            )
+        cids = db["cids"]
+        if name.lower().startswith("retrieval-sfm"):
+            images = [cid2filename(c, ims_root) for c in cids]
+        elif name.startswith("gl"):
+            images = [os.path.join(ims_root, f"{c}.jpg") for c in cids]
+        else:
+            raise ValueError(f"unknown whiten dataset family {name!r}")
+    return {
+        "images": images,
+        "qidxs": np.asarray(db["qidxs"]),
+        "pidxs": np.asarray(db["pidxs"]),
+    }
+
+
 def batch_tuples(
     tuples: Sequence[TupleSpec],
     load_image: Callable[[int], np.ndarray],

@@ -132,6 +132,66 @@ def test_make_retrieval_eval_on_synthetic_folders(train_setup):
     assert 0.0 <= out["synth/mapM"] <= 1.0 + 1e-9
 
 
+def test_retrieval_eval_with_whitening(train_setup, tmp_path):
+    """The --test-whiten path (main_train.py:650-676,711-718): learn
+    supervised whitening from a whiten db each eval, report '+whiten' rows."""
+    import pickle
+
+    root, dataset, model = train_setup
+    labels = [p.split("/")[-2] for p in dataset.images]
+    uniq = sorted(set(labels))
+    q_idx = [labels.index(u) for u in uniq]
+    gnd = []
+    for u in uniq:
+        members = np.array([i for i, l in enumerate(labels) if l == u])
+        gnd.append({"easy": members, "hard": np.empty(0, np.int64),
+                    "junk": np.empty(0, np.int64)})
+
+    # whiten db: matched same-class (query, positive) pairs
+    qidxs, pidxs = [], []
+    for u in uniq:
+        members = [i for i, l in enumerate(labels) if l == u]
+        qidxs += members[:-1]
+        pidxs += members[1:]
+    wpkl = tmp_path / "synth-whiten.pkl"
+    with open(wpkl, "wb") as f:
+        pickle.dump({"images": dataset.images,
+                     "qidxs": qidxs, "pidxs": pidxs}, f)
+    whiten_db = train.whiten_db_from_pickle(str(wpkl))
+
+    eval_fn = train.make_retrieval_eval(
+        {"synth": {"images": dataset.images,
+                   "qimages": [dataset.images[i] for i in q_idx],
+                   "gnd": gnd}},
+        image_size=64, batch_size=4, whiten_db=whiten_db,
+    )
+    out = eval_fn(model)
+    assert {"synth/mapM", "synth+whiten/mapM"} <= set(out)
+    assert 0.0 <= out["synth+whiten/mapM"] <= 1.0 + 1e-9
+
+
+class TestWhitenDbPickle:
+    def test_sfm_cids_resolve(self, tmp_path):
+        import pickle
+
+        db = {"cids": ["abcdef", "123456"], "qidxs": [0], "pidxs": [1]}
+        p = tmp_path / "retrieval-SfM-120k-whiten.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(db, f)
+        out = train.whiten_db_from_pickle(str(p))
+        assert len(out["images"]) == 2
+        assert out["images"][0].endswith("ef/cd/ab/abcdef")
+
+    def test_unknown_family_raises(self, tmp_path):
+        import pickle
+
+        p = tmp_path / "mystery-whiten.pkl"
+        with open(p, "wb") as f:
+            pickle.dump({"cids": ["x"], "qidxs": [0], "pidxs": [0]}, f)
+        with pytest.raises(ValueError, match="family"):
+            train.whiten_db_from_pickle(str(p))
+
+
 def test_update_every_accumulates(train_setup):
     """--update-every semantics (main_train.py:523-529): parameters move only
     every k micro-batches."""
