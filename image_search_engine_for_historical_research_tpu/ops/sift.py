@@ -224,14 +224,34 @@ def _orientation(patches: jnp.ndarray, sigma_oct: jnp.ndarray) -> jnp.ndarray:
     # 5-tap circular smoothing [1,4,6,4,1]/16
     sm = (jnp.roll(hist, 2, -1) + 4 * jnp.roll(hist, 1, -1) + 6 * hist
           + 4 * jnp.roll(hist, -1, -1) + jnp.roll(hist, -2, -1)) / 16.0
+
+    def refine(peak):
+        hl = jnp.take_along_axis(sm, (peak[:, None] - 1) % N_ORI_BINS, 1)[:, 0]
+        hc = jnp.take_along_axis(sm, peak[:, None], 1)[:, 0]
+        hr = jnp.take_along_axis(sm, (peak[:, None] + 1) % N_ORI_BINS, 1)[:, 0]
+        denom = hl - 2 * hc + hr
+        interp = jnp.where(
+            jnp.abs(denom) > 1e-12,
+            0.5 * (hl - hr) / jnp.where(denom == 0, 1.0, denom), 0.0)
+        ang = ((peak + interp) * (2 * jnp.pi / N_ORI_BINS)) % (2 * jnp.pi)
+        return ang, hc
+
     peak = jnp.argmax(sm, axis=-1)
-    hl = jnp.take_along_axis(sm, (peak[:, None] - 1) % N_ORI_BINS, 1)[:, 0]
-    hc = jnp.take_along_axis(sm, peak[:, None], 1)[:, 0]
-    hr = jnp.take_along_axis(sm, (peak[:, None] + 1) % N_ORI_BINS, 1)[:, 0]
-    denom = hl - 2 * hc + hr
-    interp = jnp.where(jnp.abs(denom) > 1e-12,
-                       0.5 * (hl - hr) / jnp.where(denom == 0, 1.0, denom), 0.0)
-    return ((peak + interp) * (2 * jnp.pi / N_ORI_BINS)) % (2 * jnp.pi)
+    theta1, v1 = refine(peak)
+
+    # secondary orientation: best LOCAL maximum away from the main peak;
+    # OpenCV duplicates the keypoint when it reaches >= 0.8 * max
+    # (sift.cpp orientation-histogram peaks; ~15% of keypoints)
+    is_local = (sm > jnp.roll(sm, 1, -1)) & (sm >= jnp.roll(sm, -1, -1))
+    bins = jnp.arange(N_ORI_BINS)
+    d_to_peak = jnp.abs(bins[None, :] - peak[:, None])
+    d_to_peak = jnp.minimum(d_to_peak, N_ORI_BINS - d_to_peak)
+    cand = jnp.where(is_local & (d_to_peak > 1), sm, -jnp.inf)
+    peak2 = jnp.argmax(cand, axis=-1)
+    v2 = jnp.take_along_axis(cand, peak2[:, None], 1)[:, 0]
+    theta2, _ = refine(peak2)
+    ok2 = jnp.isfinite(v2) & (v2 >= 0.8 * v1)
+    return theta1, theta2, ok2
 
 
 def _descriptor(patches: jnp.ndarray, theta: jnp.ndarray,
@@ -337,16 +357,29 @@ def _octave_keypoints(gauss: jnp.ndarray, budget: int):
     )
     # window center in the padded frame: integer keypoint position
     patches = _extract_patches(gauss_pad, lvl + 1, yi, xi)
-    theta = _orientation(patches, sigma_oct)
-    desc = _descriptor(patches, theta, sigma_oct)
+    theta1, theta2, ok2 = _orientation(patches, sigma_oct)
+
+    # secondary-orientation duplicates (OpenCV emits an extra keypoint per
+    # histogram peak >= 0.8 * max): both orientations compete with weaker
+    # detections for the SAME fixed budget, ranked by DoG score with the
+    # duplicate epsilon-demoted so primaries win ties
+    desc1 = _descriptor(patches, theta1, sigma_oct)
+    desc2 = _descriptor(patches, theta2, sigma_oct)
+    score1 = jnp.where(valid, vals, -jnp.inf)
+    score2 = jnp.where(valid & ok2, vals * (1.0 - 1e-6) - 1e-12, -jnp.inf)
+
+    xy = jnp.stack([x, y], axis=1)
+    cat = lambda a, b: jnp.concatenate([a, b], axis=0)    # noqa: E731
+    score_all = cat(score1, score2)
+    sel_vals, sel = jax.lax.top_k(score_all, budget)
 
     return {
-        "xy": jnp.stack([x, y], axis=1),                  # (budget, 2) x, y
-        "sigma": sigma_oct,
-        "theta": theta,
-        "desc": desc,
-        "score": jnp.where(valid, vals, -jnp.inf),
-        "valid": valid,
+        "xy": cat(xy, xy)[sel],
+        "sigma": cat(sigma_oct, sigma_oct)[sel],
+        "theta": cat(theta1, theta2)[sel],
+        "desc": cat(desc1, desc2)[sel],
+        "score": sel_vals,
+        "valid": jnp.isfinite(sel_vals),
     }
 
 
