@@ -30,6 +30,9 @@ def build_parser():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--no-rerank", action="store_true")
+    p.add_argument("--loader", default="pil", choices=["pil", "native"],
+                   help="batch image decoding: native = threaded libjpeg "
+                        "(native/image_loader.cpp)")
     p.add_argument("--coalesce", type=int, default=0, metavar="MAX_BATCH",
                    help="micro-batch concurrent requests into one device "
                         "program (serving.batching; implies a threaded "
@@ -62,6 +65,7 @@ def make_service(args) -> SearchService:
         model, index, vecs, paths, K=args.K,
         scales=parse_scales(args.multiscale), image_size=args.image_size,
         rerank=not args.no_rerank, image_root=args.data_root,
+        loader=args.loader,
     )
 
 

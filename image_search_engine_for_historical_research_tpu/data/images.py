@@ -79,6 +79,50 @@ def load_test_image(
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def load_test_images_native(
+    paths: Sequence[str],
+    imsize: Optional[int] = 1024,
+    threads: int = 8,
+) -> list:
+    """Batch test-mode loading through the native threaded JPEG decoder
+    (``native/image_loader.cpp``): libjpeg with DCT prescaling + box-filter
+    thumbnail, one thread pool for the whole batch — the replacement for the
+    reference's DataLoader worker processes (imageretrievalnet.py:363-366).
+
+    Semantics match ``load_test_image(path, imsize)`` (no bbx mode): only-
+    shrink thumbnail to max side ``imsize``, ImageNet-normalized float32 HWC.
+    Pixel values differ from PIL at the resampling-filter level only (box vs
+    bicubic; descriptor cosine > 0.99, tests/test_native_loader.py). Images
+    the decoder rejects (non-JPEG, truncated) fall back to PIL per image."""
+    import ctypes
+
+    from ..native import load
+
+    lib = load("image_loader")
+    n = len(paths)
+    if n == 0:
+        return []
+    s = int(imsize or 1024)
+    out = np.zeros((n, s, s, 3), np.float32)
+    hw = np.zeros((n, 2), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.decode_thumbnail_batch(
+        arr, ctypes.c_int(n), ctypes.c_int(s),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ctypes.c_int(threads),
+    )
+    images = []
+    for i in range(n):
+        h, w = int(hw[i, 0]), int(hw[i, 1])
+        if h == 0 or w == 0:  # decoder rejected it -> PIL fallback
+            images.append(load_test_image(paths[i], imsize))
+            continue
+        img = out[i, :h, :w]
+        images.append((img - IMAGENET_MEAN) / IMAGENET_STD)
+    return images
+
+
 def load_train_image(
     path: str,
     imsize: int,

@@ -19,6 +19,11 @@ _BUILD_DIR = os.path.join(_DIR, "_build")
 
 _SOURCES = {
     "hnsw": ["hnsw_build.cpp"],
+    "image_loader": ["image_loader.cpp"],
+}
+
+_LINK_FLAGS = {
+    "image_loader": ["-ljpeg"],
 }
 
 _libs = {}
@@ -33,7 +38,7 @@ def _compile(name: str) -> str:
         return so_path
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", so_path, *srcs,
+        "-o", so_path, *srcs, *_LINK_FLAGS.get(name, []),
     ]
     # -march=native when available (not critical)
     try:

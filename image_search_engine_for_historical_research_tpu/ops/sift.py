@@ -30,8 +30,9 @@ Deliberate divergences from OpenCV (documented, quality-tested in
   FLOP budget; fine-scale keypoints below sigma 1.6 are dropped;
 - one Newton step of subpixel refinement with clamped offsets instead of
   OpenCV's up-to-5-step re-localization loop;
-- a single (strongest) orientation per keypoint — OpenCV duplicates
-  keypoints for secondary histogram peaks >= 0.8 * max;
+- secondary-orientation duplicates (histogram peaks >= 0.8 * max, like
+  OpenCV) compete with weaker detections for the same fixed budget instead
+  of growing the keypoint list;
 - Gaussian blurs use edge-replicate padding, OpenCV reflects.
 """
 

@@ -99,6 +99,7 @@ class SearchService:
         rerank: "bool | str" = True,
         image_root: Optional[str] = None,
         diffusion_offline=None,
+        loader: str = "pil",
     ):
         """``rerank``: ``"qge1"``/``True`` = one qge1 iteration (the reference
         serving path, online.py:148); ``"diffusion"`` = random-walk re-rank
@@ -121,6 +122,9 @@ class SearchService:
         self.rerank = "qge1" if rerank is True else (rerank or None)
         if self.rerank not in (None, "qge1", "diffusion"):
             raise ValueError(f"unknown rerank mode: {rerank!r}")
+        if loader not in ("pil", "native"):
+            raise ValueError(f"unknown loader: {loader!r}")
+        self.loader = loader
         self.diffusion_offline = diffusion_offline
         if self.rerank == "diffusion" and diffusion_offline is None:
             raise ValueError("rerank='diffusion' needs a diffusion_offline artifact")
@@ -229,15 +233,24 @@ class SearchService:
         side = ((self.image_size + 31) // 32) * 32
         images = np.zeros((slot, side, side, 3), np.float32)
         mask = np.zeros((slot, side, side), bool)
-        # decode/resize in parallel: PIL releases the GIL, and a serial loop
-        # here would serialize ~tens of ms per image ahead of the device call
-        from concurrent.futures import ThreadPoolExecutor
+        # decode/resize in parallel ahead of the device call: either the
+        # native threaded libjpeg loader (one pool for the whole batch,
+        # native/image_loader.cpp) or PIL mapped over a thread pool (PIL
+        # releases the GIL)
+        if self.loader == "native":
+            from ..data.images import load_test_images_native
 
-        if not hasattr(self, "_load_pool"):
-            self._load_pool = ThreadPoolExecutor(max_workers=8)
-        arrays = list(self._load_pool.map(
-            lambda p: load_test_image(p, self.image_size), image_paths
-        ))
+            arrays = load_test_images_native(
+                image_paths, self.image_size, threads=8
+            )
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if not hasattr(self, "_load_pool"):
+                self._load_pool = ThreadPoolExecutor(max_workers=8)
+            arrays = list(self._load_pool.map(
+                lambda p: load_test_image(p, self.image_size), image_paths
+            ))
         for b, arr in enumerate(arrays):
             h, w = arr.shape[:2]
             images[b, :h, :w] = arr
