@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--dataset", default="revisitop1m")
     p.add_argument("--checkpoint-every", type=int, default=50000)
     p.add_argument("--limit", type=int, default=0, help="cap image count (debug)")
+    p.add_argument("--loader", default="pil", choices=["pil", "native"],
+                   help="native = threaded libjpeg batch decoding "
+                        "(native/image_loader.cpp)")
     p.add_argument("--mesh", action="store_true",
                    help="shard extraction batches over all local devices")
     p.add_argument("--bf16", action="store_true",
@@ -78,7 +81,7 @@ def main(argv=None):
         vecs[s : s + len(chunk)] = extract_vectors(
             model, chunk, args.image_size, scales=scales,
             batch_size=args.batch_size, extract_fn=fn,
-            pad_batches=args.mesh,
+            pad_batches=args.mesh, loader=args.loader,
         )
         os.makedirs(args.outputs, exist_ok=True)
         np.savez(ckpt, vecs=vecs, done=s + len(chunk))

@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("--ifextracted", action="store_true",
                    help="reuse stored features instead of re-extracting")
     p.add_argument("--K", type=int, default=100)
+    p.add_argument("--loader", default="pil", choices=["pil", "native"],
+                   help="native = threaded libjpeg batch decoding "
+                        "(native/image_loader.cpp)")
     return p
 
 
@@ -53,7 +56,7 @@ def main(argv=None):
             print(f">> {ds}: extracting {len(paths)} images...")
             vecs = extract_vectors(
                 model, paths, args.image_size, scales=scales,
-                batch_size=args.batch_size,
+                batch_size=args.batch_size, loader=args.loader,
             )
             save_path_feature(ds, vecs, rel_paths, root=args.outputs)
         all_vecs.append(np.asarray(vecs))

@@ -160,6 +160,7 @@ def extract_vectors(
     batch_size: int = 16,
     extract_fn=None,
     pad_batches: bool = False,
+    loader: str = "pil",
 ):
     """Host driver: paths -> (N, D) descriptors (imageretrievalnet.py:356-386).
 
@@ -171,16 +172,36 @@ def extract_vectors(
     ``pad_batches`` pads partial batches up to ``batch_size`` with fully-masked
     zero canvases (required by mesh-sharded extraction, which needs the batch
     dimension divisible by the device count).
+
+    ``loader="native"`` decodes each path chunk through the threaded libjpeg
+    loader (``native/image_loader.cpp``) instead of per-image PIL — the
+    device-feeding host pipeline for gallery-scale extraction (extract_1m.py
+    regime). bbx query crops always go through PIL (the bbx crop needs the
+    full-resolution image).
     """
     import numpy as np
 
     from ..data.images import bucket_batches, iter_test_images
 
+    if loader == "native" and bbxs is None:
+        from ..data.images import load_test_images_native
+
+        def gen():
+            chunk = 4 * batch_size
+            for start in range(0, len(paths), chunk):
+                sub = paths[start : start + chunk]
+                for j, arr in enumerate(
+                    load_test_images_native(sub, image_size)
+                ):
+                    yield start + j, arr
+
+        source = gen()
+    else:
+        source = iter_test_images(paths, imsize=image_size, bbxs=bbxs)
+
     fn = extract_fn or make_extract_fn(model.module, scales=scales, msp=msp)
     out = np.zeros((len(paths), model.outputdim), np.float32)
-    for batch in bucket_batches(
-        iter_test_images(paths, imsize=image_size, bbxs=bbxs), batch_size
-    ):
+    for batch in bucket_batches(source, batch_size):
         images, mask = batch.images, batch.mask
         n_real = images.shape[0]
         if pad_batches and n_real < batch_size:

@@ -77,3 +77,21 @@ def test_missing_file_falls_back_and_raises(jpgs, tmp_path):
 
 def test_empty_batch(jpgs):
     assert load_test_images_native([], 256) == []
+
+
+def test_extraction_descriptor_parity(jpgs):
+    """extract_vectors(loader='native') descriptors match the PIL path
+    (decode-level differences only: cosine > 0.999)."""
+    from image_search_engine_for_historical_research_tpu.cli import common
+    from image_search_engine_for_historical_research_tpu.models.extract import (
+        extract_vectors,
+    )
+
+    paths, _ = jpgs
+    model = common.load_network(None, "resnet50")
+    v_pil = extract_vectors(model, paths, 96, scales=(1.0,), batch_size=2)
+    v_nat = extract_vectors(
+        model, paths, 96, scales=(1.0,), batch_size=2, loader="native"
+    )
+    cos = np.sum(v_pil * v_nat, axis=1)
+    assert (cos > 0.999).all(), cos
