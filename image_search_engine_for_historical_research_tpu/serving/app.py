@@ -219,14 +219,18 @@ class SearchService:
         ``(results, timing)`` in input order; results are identical to
         ``query_image`` of each path individually (tests/test_e2e.py).
         """
-        import jax
-        import jax.numpy as jnp
+        prepared = self.prepare_batch(image_paths)
+        return self.execute_batch(prepared)
 
+    def prepare_batch(self, image_paths: Sequence[str]):
+        """Host half of the batched serving path: decode/resize/pack onto the
+        fixed canvas. Pure CPU — ``serving.batching`` overlaps it with the
+        previous batch's ``execute_batch`` device time (2-stage pipeline)."""
         from ..data.images import load_test_image
 
         B = len(image_paths)
         if B == 0:
-            return []
+            return None
         slot = next((s for s in self.BATCH_SLOTS if s >= B), B)
 
         t0 = time.time()
@@ -258,6 +262,20 @@ class SearchService:
         for b in range(B, slot):  # pad slots: replicate query 0 (never zeros:
             images[b] = images[0]  # an all-false mask breaks masked pooling)
             mask[b] = mask[0]
+        return {"images": images, "mask": mask, "B": B, "slot": slot,
+                "prepare_s": time.time() - t0}
+
+    def execute_batch(self, prepared):
+        """Device half of the batched serving path: extract -> search ->
+        re-rank for a ``prepare_batch`` payload."""
+        import jax
+        import jax.numpy as jnp
+
+        if prepared is None:
+            return []
+        images, mask, B, slot = (prepared["images"], prepared["mask"],
+                                 prepared["B"], prepared["slot"])
+        t0 = time.time()
         qvecs = np.asarray(
             self._extract_fn(
                 self.model.params, jnp.asarray(images), jnp.asarray(mask)
@@ -290,6 +308,7 @@ class SearchService:
             final = idx
         t3 = time.time()
         timing = {
+            "prepare_s": prepared["prepare_s"],
             "extract_s": t1 - t0,
             "search_s": t2 - t1,
             "rerank_s": t3 - t2,

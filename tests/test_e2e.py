@@ -371,3 +371,43 @@ def test_custom_cli(workspace, small_model, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "custom mAP" in out
+
+
+def test_coalescing_pipeline_overlaps_host_and_device():
+    """The two-stage dispatcher overlaps prepare (host) with execute
+    (device): wall clock for N batches ~ p + N*e, not N*(p+e)."""
+    import time as _time
+
+    from image_search_engine_for_historical_research_tpu.serving.batching import (
+        CoalescingService,
+    )
+
+    P, E, NB = 0.12, 0.12, 4
+
+    class StubService:
+        def prepare_batch(self, paths):
+            _time.sleep(P)
+            return {"paths": list(paths)}
+
+        def execute_batch(self, prepared):
+            _time.sleep(E)
+            return [(p, {}) for p in prepared["paths"]]
+
+    cs = CoalescingService(StubService(), max_batch=1, max_wait_ms=0.0,
+                           pipeline=True)
+    t0 = _time.perf_counter()
+    import threading
+
+    outs = []
+    ts = [threading.Thread(target=lambda i=i: outs.append(
+        cs.query_image(f"p{i}"))) for i in range(NB)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wall = _time.perf_counter() - t0
+    cs.close()
+    assert len(outs) == NB
+    # serial would be NB*(P+E) = 0.96 s; pipelined ~ P + NB*E = 0.6 s
+    assert wall < NB * (P + E) - 0.5 * P, wall
+    assert cs.batches_run == NB
