@@ -4,7 +4,7 @@ from .normalization import l2n, powerlaw
 from .pooling import gem, mac, rmac, roipool, spoc
 from .losses import contrastive_loss, sos_loss, triplet_loss
 from .whiten import pcawhitenlearn, whitenapply, whitenlearn
-from .topk import exact_ranks, exact_scores, exact_topk
+from .topk import exact_ranks, exact_scores, exact_topk, streaming_exact_topk
 from .sift import make_sharded_sift_fn, sift_extract_batch, sift_program
 
 __all__ = [
@@ -12,6 +12,6 @@ __all__ = [
     "gem", "mac", "rmac", "roipool", "spoc",
     "contrastive_loss", "sos_loss", "triplet_loss",
     "pcawhitenlearn", "whitenapply", "whitenlearn",
-    "exact_ranks", "exact_scores", "exact_topk",
+    "exact_ranks", "exact_scores", "exact_topk", "streaming_exact_topk",
     "make_sharded_sift_fn", "sift_extract_batch", "sift_program",
 ]

@@ -191,3 +191,67 @@ def exact_ranks(queries, db, *, metric="ip", matmul_dtype=None):
     ``np.argsort(dist)`` per query (nnsearch.py:699-703), batched on device."""
     s = exact_scores(queries, db, metric=metric, matmul_dtype=matmul_dtype)
     return jnp.argsort(-s, axis=1)
+
+
+def streaming_exact_topk(
+    queries,
+    db_host,
+    k: int,
+    *,
+    metric: str = "ip",
+    device_chunk: int = 1 << 20,
+    matmul_dtype=None,
+):
+    """Exact top-k against a HOST-resident gallery larger than device HBM.
+
+    Completes the beyond-HBM regime table (BASELINE.md): compressed-domain
+    search has IVF-PQ / graph-over-codes; this is the EXACT counterpart — the
+    gallery streams through the device in ``device_chunk``-row slices, each
+    scanned with the same fused matmul+top-k kernel as ``exact_topk``, with a
+    running (2k-merge) shortlist on device. Peak device memory is one slice +
+    O(Q x k); host->device transfer is the throughput ceiling (PCIe on real
+    hosts; the axon tunnel's MB/s makes this a correctness path here).
+
+    ``db_host``: numpy array (or anything np.asarray-sliceable) of shape
+    (N, D). Returns ``(scores, idx)`` with GLOBAL row indices, descending.
+    """
+    import numpy as np
+
+    queries = jnp.asarray(queries)
+    Q = queries.shape[0]
+    N = db_host.shape[0]
+    k = min(k, N)
+
+    @partial(jax.jit, static_argnames=("kk", "metric"))
+    def merge_chunk(best_s, best_i, q, block, base, kk, metric):
+        s, i = exact_topk(q, block, kk, metric=metric,
+                          matmul_dtype=matmul_dtype)
+        i = i + base
+        cs = jnp.concatenate([best_s, s], axis=1)
+        ci = jnp.concatenate([best_i, i], axis=1)
+        ts, t = jax.lax.top_k(cs, kk)
+        return ts, jnp.take_along_axis(ci, t, axis=1)
+
+    best_s = jnp.full((Q, k), -jnp.inf, jnp.float32)
+    best_i = jnp.zeros((Q, k), jnp.int32)
+    for start in range(0, N, device_chunk):
+        stop = min(start + device_chunk, N)
+        block = jnp.asarray(np.asarray(db_host[start:stop]))
+        if block.shape[0] < k:  # tail smaller than k: pad with -inf rows
+            pad = k - block.shape[0]
+            block = jnp.concatenate(
+                [block, jnp.zeros((pad, block.shape[1]), block.dtype)], 0
+            )
+            s, i = exact_topk(queries, block, k, metric=metric,
+                              matmul_dtype=matmul_dtype)
+            valid = i < (stop - start)
+            s = jnp.where(valid, s, -jnp.inf)
+            cs = jnp.concatenate([best_s, s], 1)
+            ci = jnp.concatenate([best_i, i + start], 1)
+            ts, t = jax.lax.top_k(cs, k)
+            best_s, best_i = ts, jnp.take_along_axis(ci, t, 1)
+        else:
+            best_s, best_i = merge_chunk(
+                best_s, best_i, queries, block, start, k, metric
+            )
+    return best_s, best_i

@@ -104,3 +104,38 @@ def test_query_block_path_matches_oracle(monkeypatch):
     )
     ref = np.argsort(-(q @ db.T), axis=1)[:, :5]
     np.testing.assert_array_equal(np.asarray(idx), ref)
+
+
+class TestStreamingExactTopk:
+    """Beyond-HBM exact path: host-resident gallery streamed in chunks."""
+
+    def test_matches_in_memory_exact(self):
+        import numpy as np
+        from image_search_engine_for_historical_research_tpu.ops import (
+            exact_topk, streaming_exact_topk,
+        )
+
+        rng = np.random.default_rng(0)
+        db = rng.standard_normal((1000, 32)).astype(np.float32)
+        q = rng.standard_normal((7, 32)).astype(np.float32)
+        s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(db), 13)
+        for chunk in (64, 128, 999, 4096):
+            s, i = streaming_exact_topk(q, db, 13, device_chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+            np.testing.assert_allclose(
+                np.asarray(s), np.asarray(s_ref), rtol=1e-5
+            )
+
+    def test_k_exceeds_chunk_tail(self):
+        import numpy as np
+        from image_search_engine_for_historical_research_tpu.ops import (
+            streaming_exact_topk,
+        )
+
+        rng = np.random.default_rng(1)
+        db = rng.standard_normal((130, 16)).astype(np.float32)
+        q = rng.standard_normal((3, 16)).astype(np.float32)
+        # last chunk (2 rows) smaller than k=20
+        s, i = streaming_exact_topk(q, db, 20, device_chunk=128)
+        ref = np.argsort(-(q @ db.T), axis=1)[:, :20]
+        np.testing.assert_array_equal(np.asarray(i), ref)
