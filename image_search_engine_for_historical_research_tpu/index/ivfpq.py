@@ -183,12 +183,16 @@ def build_ivfpq(
     train_fraction: float = 0.2,
     normalize: bool = True,
     seg: int = None,
+    mesh=None,
 ) -> IVFPQIndex:
     """Train coarse + residual-PQ quantizers and pack flat inverted lists.
 
     Reference ANN defaults (knn.py:44-53): nlist=316, nprobe=64, trained on a
     random sample. ``seg`` (per-probe scan window) defaults to the P99 list
-    length rounded up to a power of two.
+    length rounded up to a power of two. With ``mesh``, both k-means fits
+    (coarse quantizer + residual PQ) run data-sharded over the device mesh
+    (one psum of centroid sums/counts per Lloyd iteration — the same scheme
+    as the sharded graph/PQ/diffusion builds, tests/test_parallel.py).
     """
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
@@ -197,16 +201,27 @@ def build_ivfpq(
 
     key = jax.random.PRNGKey(seed)
     n_train = max(min(N, 64), int(N * train_fraction))
+    if mesh is not None:  # sharded fits need rows divisible by the mesh axis
+        n_shards = mesh.shape["data"]
+        n_train = max(n_shards, (n_train // n_shards) * n_shards)
     sample_idx = jax.random.choice(key, N, shape=(n_train,), replace=False)
     sample = v[sample_idx]
 
     nlist = min(nlist, N)
-    coarse_centers, _ = kmeans_fit(sample, nlist, iters, key)
+    if mesh is not None:
+        from ..ops.kmeans import kmeans_fit_sharded
+
+        coarse_centers, _ = kmeans_fit_sharded(
+            sample, nlist, mesh, iters=iters, key=key
+        )
+    else:
+        coarse_centers, _ = kmeans_fit(sample, nlist, iters, key)
 
     # train the residual PQ on the sample only (faiss semantics)
     c2 = jnp.sum(coarse_centers**2, axis=1)
     s_assign = jnp.argmin(c2[None, :] - 2.0 * (sample @ coarse_centers.T), axis=1)
-    cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters, seed=seed)
+    cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters,
+                  seed=seed, mesh=mesh)
 
     # assign + residual-encode the full database in row chunks (a full (N, D)
     # residual copy alone is 8 GB at 1M x 2048 — OOM next to the db)

@@ -218,3 +218,25 @@ def test_sharded_sift_matches_single_device(mesh):
         np.testing.assert_allclose(
             np.asarray(sharded[k]), np.asarray(single[k]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_sharded_ivfpq_build_matches_single_device(mesh):
+    """build_ivfpq(mesh=...) — sharded coarse + PQ fits reproduce the
+    single-device index (same init keys -> same centroids up to reduction
+    rounding -> identical assignments/codes on well-separated data)."""
+    from image_search_engine_for_historical_research_tpu.index.ivfpq import (
+        build_ivfpq,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 5
+    db = (centers[rng.integers(0, 8, 512)]
+          + rng.standard_normal((512, 32)).astype(np.float32) * 0.05)
+    ix1 = build_ivfpq(db, nlist=8, M=4, Ks=16, nprobe=4, train_fraction=0.5)
+    ix2 = build_ivfpq(db, nlist=8, M=4, Ks=16, nprobe=4, train_fraction=0.5,
+                      mesh=mesh)
+    q = db[:16]
+    _, i1 = ix1.search(jnp.asarray(q), 5)
+    _, i2 = ix2.search(jnp.asarray(q), 5)
+    # same top-1 buckets on clustered data; allow tie-order differences deeper
+    np.testing.assert_array_equal(np.asarray(i1)[:, 0], np.asarray(i2)[:, 0])
