@@ -248,6 +248,7 @@ def build_rpforest(
     leaf_size: int = 512,
     seed: int = 42,
     normalize: bool = True,
+    mesh=None,
 ) -> RPForestIndex:
     """Build the forest entirely on device.
 
@@ -256,7 +257,13 @@ def build_rpforest(
     the leaf-union re-rank is one MXU matmul, so large leaves buy recall
     almost free — measured at 100k x 2048 (BASELINE.md): leaf 512 reaches
     recall@10 = 0.98 with 64 trees at 159 MB where leaf 128 needs 562 MB for
-    0.89. Shallower trees also mean fewer plane rows (the memory hog)."""
+    0.89. Shallower trees also mean fewer plane rows (the memory hog).
+
+    With ``mesh``, trees build data-replicated / TREE-SHARDED over the device
+    mesh (trees are independent; no collectives at all) — the last expensive
+    build to join the sharded family (graph kNN, PQ/IVF-PQ k-means, diffusion
+    offline). Per-tree keys are identical in both modes, so the sharded
+    forest equals the single-device one exactly (tests/test_parallel.py)."""
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
         v = normalize_rows(v)
@@ -264,18 +271,55 @@ def build_rpforest(
     depth = max(1, int(np.ceil(np.log2(max(N / leaf_size, 2)))))
     n_leaves = 1 << depth
 
+    tree_keys = jax.random.split(jax.random.PRNGKey(seed), n_trees)
     planes_l, thr_l, assign_l = [], [], []
-    key = jax.random.PRNGKey(seed)
-    for t in range(n_trees):
-        key, sub = jax.random.split(key)
-        planes, thr, leaf_assign = _build_tree(v, depth, sub)
-        # bf16 plane storage: at 1M x 2048 with 100 trees the f32 planes are
-        # 1.7 GB and the final jnp.stack transiently doubles that next to the
-        # 8 GB gallery (OOM). Split decisions only compare a projection to a
-        # threshold; bf16 rounding flips only points already on the boundary
-        planes_l.append(planes.astype(jnp.bfloat16))
-        thr_l.append(thr)
-        assign_l.append(np.asarray(leaf_assign))
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        axis = "data"
+        n_shards = mesh.shape[axis]
+        Tp = ((n_trees + n_shards - 1) // n_shards) * n_shards
+        keys_p = jnp.concatenate(
+            [tree_keys, jnp.tile(tree_keys[:1], (Tp - n_trees, 1))], axis=0
+        )
+
+        def per_shard(keys_shard, v_rep):
+            return jax.lax.map(
+                lambda kk: _build_tree(v_rep, depth, kk), keys_shard
+            )
+
+        # check_vma=False: the per-tree fori_loop carries start as constants
+        # (unvarying) and become shard-varying; with no collectives anywhere
+        # in the tree build the varying-manual-axes check is just noise
+        fn = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(axis), P()), out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )
+        planes_a, thr_a, assign_a = jax.jit(fn)(keys_p, v)
+        # reshard tree-sharded outputs to replicated (one ICI all-gather)
+        # before slicing — scalar indexing across a sharded axis is ambiguous
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(mesh, P())
+        planes_a = jax.device_put(planes_a, rep)
+        thr_a = jax.device_put(thr_a, rep)
+        assign_np = np.asarray(jax.device_put(assign_a, rep))
+        for t in range(n_trees):
+            planes_l.append(planes_a[t].astype(jnp.bfloat16))
+            thr_l.append(thr_a[t])
+            assign_l.append(assign_np[t])
+    else:
+        for t in range(n_trees):
+            planes, thr, leaf_assign = _build_tree(v, depth, tree_keys[t])
+            # bf16 plane storage: at 1M x 2048 with 100 trees the f32 planes
+            # are 1.7 GB and the final jnp.stack transiently doubles that next
+            # to the 8 GB gallery (OOM). Split decisions only compare a
+            # projection to a threshold; bf16 rounding flips only points
+            # already on the boundary
+            planes_l.append(planes.astype(jnp.bfloat16))
+            thr_l.append(thr)
+            assign_l.append(np.asarray(leaf_assign))
 
     # pack leaf item tables (host, one argsort per tree); width = observed max
     all_counts = [np.bincount(a, minlength=n_leaves) for a in assign_l]

@@ -240,3 +240,21 @@ def test_sharded_ivfpq_build_matches_single_device(mesh):
     _, i2 = ix2.search(jnp.asarray(q), 5)
     # same top-1 buckets on clustered data; allow tie-order differences deeper
     np.testing.assert_array_equal(np.asarray(i1)[:, 0], np.asarray(i2)[:, 0])
+
+
+def test_sharded_rpforest_build_matches_single_device(mesh):
+    """Tree-sharded forest build == single-device (identical per-tree keys)."""
+    from image_search_engine_for_historical_research_tpu.index.rpforest import (
+        build_rpforest,
+    )
+
+    rng = np.random.default_rng(7)
+    db = rng.standard_normal((256, 32)).astype(np.float32)
+    ix1 = build_rpforest(db, n_trees=10, leaf_size=32, seed=3)
+    ix2 = build_rpforest(db, n_trees=10, leaf_size=32, seed=3, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(ix1.leaf_items), np.asarray(ix2.leaf_items)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ix1.thresholds), np.asarray(ix2.thresholds), rtol=1e-5
+    )
