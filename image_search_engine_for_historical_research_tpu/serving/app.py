@@ -125,6 +125,11 @@ class SearchService:
         if loader not in ("pil", "native"):
             raise ValueError(f"unknown loader: {loader!r}")
         self.loader = loader
+        from concurrent.futures import ThreadPoolExecutor
+
+        # decode pool for query_batch's PIL path (created here, not lazily:
+        # concurrent direct query_batch callers would race the first creation)
+        self._load_pool = ThreadPoolExecutor(max_workers=8)
         self.diffusion_offline = diffusion_offline
         if self.rerank == "diffusion" and diffusion_offline is None:
             raise ValueError("rerank='diffusion' needs a diffusion_offline artifact")
@@ -248,10 +253,6 @@ class SearchService:
                 image_paths, self.image_size, threads=8
             )
         else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            if not hasattr(self, "_load_pool"):
-                self._load_pool = ThreadPoolExecutor(max_workers=8)
             arrays = list(self._load_pool.map(
                 lambda p: load_test_image(p, self.image_size), image_paths
             ))

@@ -36,7 +36,7 @@ def small_model(monkeypatch_module=None):
 def _ensure_store(root, small_model, monkeypatch):
     """Build the feature store + index once (idempotent) so service tests can
     run standalone, not only after the offline CLI test."""
-    if os.path.exists(root / "outputs" / "features" / "db_path_feature.npz"):
+    if os.path.exists(root / "outputs" / "db" / "hnsw" / "manifest.json"):
         return
     from image_search_engine_for_historical_research_tpu.cli import common, offline
 
@@ -45,7 +45,7 @@ def _ensure_store(root, small_model, monkeypatch):
     assert offline.main([
         "--datasets", "db",
         "--data-root", str(root / "data"),
-        "--matching-method", "L2",
+        "--matching-method", "HNSW",
         "--ifgenerate",
         "--outputs", str(root / "outputs"),
         "--image-size", "96",
@@ -82,6 +82,7 @@ def test_online_service_query(workspace, small_model, monkeypatch):
     )
 
     root, db_paths, q_paths = workspace
+    _ensure_store(root, small_model, monkeypatch)
     monkeypatch.setattr(online, "load_network", lambda *a, **k: small_model)
 
     args = online.build_parser().parse_args([
