@@ -391,6 +391,29 @@ def sift_rerank(
 
     cache: dict = {}
 
+    if backend == "tpu":
+        # batch the device extraction up front: per-path B=1 dispatches pay a
+        # compile + a ~33 ms round-trip each; one pass over the unique needed
+        # paths (queries + their top-b candidates) runs in full batches
+        needed, seen = [], set()
+        for p in list(query_paths) + [
+            db_paths[int(ranks[qi, j])] for qi in range(Q) for j in range(b)
+        ]:
+            if p not in seen:
+                seen.add(p)
+                if store_dir is None or not os.path.exists(os.path.join(
+                        store_dir,
+                        os.path.splitext(os.path.basename(p))[0] + ".npz")):
+                    needed.append(p)
+        if needed and store_dir is None:
+            cache.update(zip(needed, sift_extract_tpu(needed, resize)))
+        elif needed:
+            os.makedirs(store_dir, exist_ok=True)
+            for p, lf in zip(needed, sift_extract_tpu(needed, resize)):
+                lf.save(os.path.join(
+                    store_dir,
+                    os.path.splitext(os.path.basename(p))[0] + ".npz"))
+
     def extract_one(path):
         if backend == "tpu":
             return sift_extract_tpu([path], resize)[0]
