@@ -82,7 +82,14 @@ class HNSWIndex:
             coarse_ids=self.coarse_ids,
         )
 
-    def search_pallas(self, queries, k: int, ef: int, interpret: bool = False):
+    def search_pallas(
+        self,
+        queries,
+        k: int,
+        ef: int,
+        interpret: bool = False,
+        n_seeds: int = 1,
+    ):
         """Level-0 beam search in the Pallas kernel (ops.pallas_graph):
         per-query VMEM state + async HBM gathers — the at-scale search path
         (the XLA vmapped traversal measured unusable at 1M).
@@ -90,23 +97,61 @@ class HNSWIndex:
         Entry points come from a brute-force matmul over the coarse
         (upper-level) nodes when available — at 1M that is a ~60k-row scan in
         microseconds, and it avoids the XLA greedy-descent loop entirely —
-        falling back to the graph's global entry point otherwise."""
+        falling back to the graph's global entry point otherwise.
+
+        ``n_seeds > 1`` launches independent beams from the top-``n_seeds``
+        coarse entries per query and merges their shortlists — a robustness
+        knob for queries far from the gallery manifold (distances nearly tie,
+        a single greedy beam can wander; measured on OOD synthetic queries in
+        scripts/measure_serving_graph.py). Costs ~``n_seeds`` x; results are
+        deduplicated before the final top-k."""
         from ..ops.graph_search import hnsw_descend_entries
         from ..ops.pallas_graph import pallas_beam_search
 
-        q = normalize_rows(jnp.asarray(queries))
-        if self.coarse_ids is not None and self.coarse_ids.shape[0] > 0:
-            cvecs = self.vectors[self.coarse_ids].astype(q.dtype)
-            import jax
+        import jax
 
-            _, top = jax.lax.top_k(q @ cvecs.T, 1)
-            starts = self.coarse_ids[top[:, 0]]
+        q = normalize_rows(jnp.asarray(queries))
+        Q = q.shape[0]
+        use_coarse = self.coarse_ids is not None and self.coarse_ids.shape[0] > 0
+        s = max(1, int(n_seeds))
+        if use_coarse:
+            s = min(s, int(self.coarse_ids.shape[0]))
+            cvecs = self.vectors[self.coarse_ids].astype(q.dtype)
+            _, top = jax.lax.top_k(q @ cvecs.T, s)
+            starts = self.coarse_ids[top]                   # (Q, s)
         else:
-            starts = hnsw_descend_entries(self.vectors, self.nbru, self.entry, q)
+            s = 1
+            starts = hnsw_descend_entries(
+                self.vectors, self.nbru, self.entry, q
+            )[:, None]
+        if s == 1:
+            scores, ids = pallas_beam_search(
+                self.vectors, self.nbr0, q, starts[:, 0], ef=ef,
+                interpret=interpret,
+            )
+            return scores[:, :k], ids[:, :k]
+
+        # multi-seed: tile queries s-fold, one kernel launch, merge per query
+        qs = jnp.repeat(q, s, axis=0)                       # (Q*s, D)
         scores, ids = pallas_beam_search(
-            self.vectors, self.nbr0, q, starts, ef=ef, interpret=interpret
+            self.vectors, self.nbr0, qs, starts.reshape(-1), ef=ef,
+            interpret=interpret,
         )
-        return scores[:, :k], ids[:, :k]
+        scores = scores.reshape(Q, s * scores.shape[1])
+        ids = ids.reshape(Q, s * ids.shape[1])
+        # dedupe beam overlaps: an entry is a duplicate if an equal id
+        # appears earlier in score order; demote duplicates to -inf
+        order = jnp.argsort(-scores, axis=1)
+        ids_o = jnp.take_along_axis(ids, order, axis=1)
+        sc_o = jnp.take_along_axis(scores, order, axis=1)
+        eq = ids_o[:, :, None] == ids_o[:, None, :]        # (Q, L, L)
+        earlier = jnp.tril(
+            jnp.ones((ids_o.shape[1], ids_o.shape[1]), bool), -1
+        )                                                  # earlier[a, b]: b < a
+        dup = jnp.any(eq & earlier[None], axis=2)
+        sc_o = jnp.where(dup, -jnp.inf, sc_o)
+        ts, t = jax.lax.top_k(sc_o, k)
+        return ts, jnp.take_along_axis(ids_o, t, axis=1)
 
     def to_arrays(self):
         arrays = {

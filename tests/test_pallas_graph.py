@@ -94,3 +94,26 @@ def test_no_duplicate_results(setup):
     for row in np.asarray(i):
         valid = row[row >= 0]
         assert len(set(valid.tolist())) == len(valid)
+
+
+def test_multi_seed_beams(setup):
+    """n_seeds > 1: independent beams merged + deduped; recall never below
+    the single-seed path, no duplicate ids, and n_seeds=1 equals the old
+    behavior exactly."""
+    x, q, ix, exact = setup
+    if ix.coarse_ids is None or ix.coarse_ids.shape[0] < 3:
+        pytest.skip("graph has no coarse level")
+    s1, i1 = ix.search_pallas(jnp.asarray(q), 10, ef=32, interpret=True)
+    s1b, i1b = ix.search_pallas(jnp.asarray(q), 10, ef=32, interpret=True,
+                                n_seeds=1)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i1b))
+
+    s3, i3 = ix.search_pallas(jnp.asarray(q), 10, ef=32, interpret=True,
+                              n_seeds=3)
+    i3 = np.asarray(i3)
+    for r in range(i3.shape[0]):
+        assert len(set(i3[r])) == i3.shape[1], "duplicate ids after merge"
+    assert recall(exact, i3) >= recall(exact, np.asarray(i1)) - 1e-9
+    # scores are descending
+    s3 = np.asarray(s3)
+    assert (np.diff(s3, axis=1) <= 1e-6).all()
