@@ -412,3 +412,56 @@ def test_coalescing_pipeline_overlaps_host_and_device():
     # serial would be NB*(P+E) = 0.96 s; pipelined ~ P + NB*E = 0.6 s
     assert wall < NB * (P + E) - 0.5 * P, wall
     assert cs.batches_run == NB
+
+
+def test_extract_1m_cli_resume_and_native_loader(small_model, monkeypatch, tmp_path):
+    """The distractor-extraction CLI (extract_1m.py parity): revisitop1m-style
+    imlist, checkpointed resume, and the native threaded loader."""
+    from PIL import Image
+
+    from image_search_engine_for_historical_research_tpu.cli import extract_1m
+
+    # revisitop1m layout: <root>/revisitop1m/revisitop1m.txt + jpg/<name>.jpg
+    root = tmp_path / "1m"
+    jpgdir = root / "revisitop1m" / "jpg"
+    os.makedirs(jpgdir)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(6):
+        nm = f"d{i}.jpg"  # revisitop1m imlist lines carry the extension
+        arr = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(jpgdir / nm)
+        names.append(nm)
+    with open(root / "revisitop1m" / "revisitop1m.txt", "w") as f:
+        f.write("\n".join(names))
+
+    monkeypatch.setattr(extract_1m, "load_network", lambda *a, **k: small_model)
+    out = tmp_path / "out"
+    common_args = [
+        "--data-root", str(root),
+        "--outputs", str(out),
+        "--image-size", "64",
+        "--multiscale", "[1]",
+        "--batch-size", "2",
+        "--checkpoint-every", "4",
+        "--loader", "native",
+    ]
+    # full run: completes, stores the feature file, removes the checkpoint
+    assert extract_1m.main(common_args) == 0
+    from image_search_engine_for_historical_research_tpu.data import (
+        load_path_features,
+    )
+
+    vecs, rel = load_path_features("revisitop1m", root=str(out))
+    assert vecs.shape[0] == 6 and len(rel) == 6
+    assert not os.path.exists(out / "revisitop1m_partial.npz")
+
+    # resume: pre-seed a partial checkpoint with sentinel rows for the first
+    # 4 images; the rerun must keep them verbatim (no re-extraction) and only
+    # extract the remaining 2
+    sentinel = np.full((6, vecs.shape[1]), 0.125, np.float32)
+    np.savez(out / "revisitop1m_partial.npz", vecs=sentinel, done=4)
+    assert extract_1m.main(common_args) == 0
+    vecs2, _ = load_path_features("revisitop1m", root=str(out))
+    np.testing.assert_allclose(vecs2[:4], sentinel[:4], atol=1e-6)
+    np.testing.assert_allclose(vecs2[4:], vecs[4:], atol=1e-5)
