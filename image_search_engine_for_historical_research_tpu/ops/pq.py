@@ -176,7 +176,29 @@ def pq_dist_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
     return q2[:, :, None] - 2.0 * dots + c2[None, :, :]
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "method"))
+def pq_pack4(codes: jnp.ndarray) -> jnp.ndarray:
+    """Pack 4-bit codes (values < 16) two-per-byte: (N, M) -> (N, M/2) uint8.
+
+    The Quick-ADC geometry (M subquantizers of Ks=16, arXiv:1704.07355) at
+    half the HBM footprint — the full-scan ADC at >= 10M codes is bound by
+    streaming the code matrix, so packing buys ~2x there. Unpacking happens
+    on device inside ``pq_search(packed4=True)`` (two shifts per byte)."""
+    codes = jnp.asarray(codes)
+    if codes.shape[1] % 2:
+        raise ValueError("M must be even to pack 4-bit codes")
+    lo = codes[:, 0::2].astype(jnp.uint8)
+    hi = codes[:, 1::2].astype(jnp.uint8)
+    return lo | (hi << 4)
+
+
+def pq_unpack4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``pq_pack4``: (N, M/2) uint8 -> (N, M) uint8."""
+    lo = packed & 0xF
+    hi = packed >> 4
+    return jnp.stack([lo, hi], axis=2).reshape(packed.shape[0], -1)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk", "method", "packed4"))
 def pq_search(
     codebook: PQCodebook,
     codes: jnp.ndarray,
@@ -184,6 +206,7 @@ def pq_search(
     k: int,
     chunk: int = 65536,
     method: str = "auto",
+    packed4: bool = False,
 ):
     """ADC top-k over the code matrix, streamed in chunks.
 
@@ -203,9 +226,20 @@ def pq_search(
     - ``"auto"`` (default): onehot for Ks <= LARGE_KS, else gather — the
       measured crossover (BASELINE.md).
     """
-    N, M = codes.shape
+    N = codes.shape[0]
+    M = codebook.codewords.shape[0]
     Q = queries.shape[0]
     Ks = codebook.codewords.shape[1]
+    if packed4:
+        if Ks > 16:
+            raise ValueError("packed4 requires Ks <= 16 (4-bit codes)")
+        if codes.shape[1] != M // 2:
+            raise ValueError(
+                f"packed codes must be (N, {M // 2}), got {codes.shape}"
+            )
+    elif codes.shape[1] != M:
+        raise ValueError(f"codes must be (N, {M}), got {codes.shape}")
+    width = codes.shape[1]
     k = min(k, N)
     if method == "auto":
         method = "onehot" if Ks <= LARGE_KS else "gather"
@@ -214,10 +248,10 @@ def pq_search(
     chunk = max(128, min(chunk, ((N + 127) // 128) * 128))
     pad = (-N) % chunk
     codes_p = jnp.concatenate(
-        [codes, jnp.zeros((pad, M), codes.dtype)], axis=0
+        [codes, jnp.zeros((pad, width), codes.dtype)], axis=0
     ) if pad else codes
     nchunks = codes_p.shape[0] // chunk
-    codes_c = codes_p.reshape(nchunks, chunk, M)
+    codes_c = codes_p.reshape(nchunks, chunk, width)
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     k_local = min(k, chunk)
@@ -225,7 +259,9 @@ def pq_search(
     dt_t = jnp.transpose(dt, (1, 2, 0)).astype(jnp.float32)
 
     def one_chunk(inp):
-        code_tile, cidx = inp  # (chunk, M)
+        code_tile, cidx = inp  # (chunk, M) — or (chunk, M/2) packed
+        if packed4:
+            code_tile = pq_unpack4(code_tile)
 
         def add_m(m, acc):
             cm = jax.lax.dynamic_index_in_dim(code_tile, m, 1, keepdims=False)

@@ -54,7 +54,7 @@ def main():
     import jax.numpy as jnp
 
     from image_search_engine_for_historical_research_tpu.ops.pq import (
-        PQCodebook, pq_encode, pq_search, pq_train,
+        PQCodebook, pq_encode, pq_pack4, pq_search, pq_train,
     )
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -73,11 +73,14 @@ def main():
     Q, D, K = args.q, args.d, args.k
 
     # ---- stage 1: full-scan ADC timing on synthetic codes ------------------
-    for M, Ks in ((16, 256), (32, 16), (64, 16)):
+    for M, Ks, packed in ((16, 256, False), (32, 16, False), (32, 16, True),
+                          (64, 16, False)):
         ds = D // M
         codes = jax.random.randint(
             jax.random.PRNGKey(M), (args.n, M), 0, Ks, dtype=jnp.int32
         ).astype(jnp.uint8)
+        if packed:
+            codes = pq_pack4(codes)
         cb = PQCodebook(
             codewords=jnp.asarray(
                 rng.standard_normal((M, Ks, ds)).astype(np.float32)
@@ -85,11 +88,12 @@ def main():
         )
         qv = jnp.asarray(rng.standard_normal((Q, D)).astype(np.float32))
 
-        def make_loop(R, cb=cb):
+        def make_loop(R, cb=cb, packed=packed):
             @jax.jit
             def loop(q, codes):
                 def body(c, _):
-                    s, i = pq_search(cb, codes, c, K, method="onehot")
+                    s, i = pq_search(cb, codes, c, K, method="onehot",
+                                     packed4=packed)
                     return c + (s[:, :1] + i[:, :1].astype(jnp.float32)) * 1e-12, None
 
                 cc, _ = jax.lax.scan(body, q, None, length=R)
@@ -100,7 +104,9 @@ def main():
         per_iter = _slope(make_loop, (qv, codes))
         print(json.dumps({
             "stage": "adc_timing", "N": args.n, "M": M, "Ks": Ks,
+            "packed4": packed,
             "bits_per_code": int(M * np.log2(Ks)),
+            "code_bytes_resident": int(codes.shape[0] * codes.shape[1]),
             "ms_per_query": round(per_iter / Q * 1e3, 3),
         }), flush=True)
         del codes

@@ -220,3 +220,34 @@ class TestArtifacts:
         np.savez(d / "arrays.npz", x=np.zeros(1))
         with pytest.raises(ValueError, match="unknown index kind"):
             load_index(str(d))
+
+
+def test_pq_search_packed4_equals_unpacked():
+    """4-bit packed codes (pq_pack4) give identical ADC results at Ks<=16."""
+    import jax.numpy as jnp
+
+    from image_search_engine_for_historical_research_tpu.ops.pq import (
+        PQCodebook, pq_pack4, pq_search, pq_unpack4,
+    )
+
+    rng = np.random.default_rng(0)
+    M, Ks, ds, n = 8, 16, 8, 500
+    cw = jnp.asarray(rng.standard_normal((M, Ks, ds)).astype(np.float32))
+    codes = jnp.asarray(rng.integers(0, Ks, (n, M)).astype(np.uint8))
+    q = jnp.asarray(rng.standard_normal((5, M * ds)).astype(np.float32))
+    cb = PQCodebook(codewords=cw)
+
+    packed = pq_pack4(codes)
+    assert packed.shape == (n, M // 2)
+    np.testing.assert_array_equal(np.asarray(pq_unpack4(packed)),
+                                  np.asarray(codes))
+
+    s1, i1 = pq_search(cb, codes, q, 10)
+    s2, i2 = pq_search(cb, packed, q, 10, packed4=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="Ks <= 16"):
+        big = PQCodebook(codewords=jnp.zeros((2, 32, 4)))
+        pq_search(big, jnp.zeros((4, 1), jnp.uint8), jnp.zeros((1, 8)), 2,
+                  packed4=True)
