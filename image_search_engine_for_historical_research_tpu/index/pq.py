@@ -14,16 +14,17 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pq import PQCodebook, pq_encode, pq_search, pq_train
+from ..ops.pq import PQCodebook, pq_encode, pq_pack4, pq_search, pq_train
 from .base import normalize_rows, register
 
 
 @register("pq")
 @dataclass
 class PQIndex:
-    codewords: jnp.ndarray   # (M, Ks, ds)
-    codes: jnp.ndarray       # (N, M)
+    codewords: jnp.ndarray   # (M, Ks, ds) — codes (N, M), or (N, M/2) when
+    codes: jnp.ndarray       # packed4 (two 4-bit codes per byte, Ks <= 16)
     normalized: bool = True
+    packed4: bool = False
 
     @property
     def codebook(self) -> PQCodebook:
@@ -37,11 +38,12 @@ class PQIndex:
         q = jnp.asarray(queries)
         if self.normalized:
             q = normalize_rows(q)
-        return pq_search(self.codebook, self.codes, q, k, chunk=chunk)
+        return pq_search(self.codebook, self.codes, q, k, chunk=chunk,
+                         packed4=self.packed4)
 
     def to_arrays(self):
         return (
-            {"normalized": self.normalized},
+            {"normalized": self.normalized, "packed4": self.packed4},
             {
                 "codewords": np.asarray(self.codewords, np.float32),
                 "codes": np.asarray(self.codes),
@@ -54,6 +56,7 @@ class PQIndex:
             codewords=jnp.asarray(arrays["codewords"]),
             codes=jnp.asarray(arrays["codes"]),
             normalized=bool(meta.get("normalized", True)),
+            packed4=bool(meta.get("packed4", False)),
         )
 
 
@@ -66,6 +69,7 @@ def build_pq(
     normalize: bool = True,
     train_sample: int | None = None,
     mesh=None,
+    pack4: bool = False,
 ) -> PQIndex:
     """Train codebooks on the database and encode it (nnsearch.py:879-891).
 
@@ -83,4 +87,9 @@ def build_pq(
         mesh=mesh,
     )
     codes = pq_encode(cb, v)
-    return PQIndex(codewords=cb.codewords, codes=codes, normalized=normalize)
+    if pack4:
+        if Ks > 16:
+            raise ValueError("pack4 requires Ks <= 16 (the Quick-ADC geometry)")
+        codes = pq_pack4(codes)
+    return PQIndex(codewords=cb.codewords, codes=codes, normalized=normalize,
+                   packed4=pack4)

@@ -251,3 +251,30 @@ def test_pq_search_packed4_equals_unpacked():
         big = PQCodebook(codewords=jnp.zeros((2, 32, 4)))
         pq_search(big, jnp.zeros((4, 1), jnp.uint8), jnp.zeros((1, 8)), 2,
                   packed4=True)
+
+
+def test_build_pq_pack4_roundtrip(tmp_path):
+    """build_pq(pack4=True): Quick-ADC geometry index, half-size codes,
+    identical results to the unpacked index, save/load preserved."""
+    from image_search_engine_for_historical_research_tpu.index import (
+        load_index, save_index,
+    )
+    from image_search_engine_for_historical_research_tpu.index.pq import build_pq
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((400, 64)).astype(np.float32)
+    q = db[:5] + 0.01 * rng.standard_normal((5, 64)).astype(np.float32)
+    ix_u = build_pq(db, M=16, Ks=16, iters=5)
+    ix_p = build_pq(db, M=16, Ks=16, iters=5, pack4=True)
+    assert ix_p.codes.shape == (400, 8)
+    s1, i1 = ix_u.search(q, 10)
+    s2, i2 = ix_p.search(q, 10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    save_index(ix_p, str(tmp_path / "pq4"))
+    loaded = load_index(str(tmp_path / "pq4"))
+    s3, i3 = loaded.search(q, 10)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+
+    with pytest.raises(ValueError, match="pack4"):
+        build_pq(db, M=16, Ks=32, iters=2, pack4=True)
