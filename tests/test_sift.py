@@ -172,3 +172,32 @@ class TestSahaIntegration:
         xy = f["xy"][: f["count"]]
         d = np.linalg.norm(xy[:, None] - xy_cv[None], axis=2).min(1)
         assert (d < 3).mean() > 0.5, (d < 3).mean()
+
+
+class TestAdalamQuality:
+    def test_inlier_counts_competitive_with_cv2(self, tmp_path):
+        """End-quality check: AdaLAM verified-inlier counts from TPU-SIFT
+        features are competitive with cv2-SIFT features on a rotated pair
+        (measured 387 vs 348 at the test seed — we assert a conservative
+        floor to absorb version drift)."""
+        cv2 = pytest.importorskip("cv2")
+        from PIL import Image
+
+        from image_search_engine_for_historical_research_tpu.rerank import (
+            geometric as G,
+        )
+
+        img = (_texture(3, (240, 320)) * 255).astype(np.uint8)
+        rot = ndimage.rotate(
+            img, 10, reshape=False, order=3, mode="nearest"
+        ).astype(np.uint8)
+        p0, p1 = str(tmp_path / "a.jpg"), str(tmp_path / "b.jpg")
+        Image.fromarray(img).save(p0)
+        Image.fromarray(rot).save(p1)
+
+        f_cv = [G.sift_extract(p, (320, 240)) for p in (p0, p1)]
+        f_tp = G.sift_extract_tpu([p0, p1], (320, 240))
+        c_cv = int(G.adalam_count_pairs([f_cv[0]], [f_cv[1]], pair_batch=1)[0])
+        c_tp = int(G.adalam_count_pairs([f_tp[0]], [f_tp[1]], pair_batch=1)[0])
+        assert c_tp >= 50
+        assert c_tp >= 0.5 * c_cv, (c_tp, c_cv)
