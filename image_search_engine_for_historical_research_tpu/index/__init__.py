@@ -1,7 +1,7 @@
 """Search backends with a uniform build/search/save/load contract."""
 
 from .base import load_index, normalize_rows, save_index
-from .flat import FlatIndex, build_flat
+from .flat import FlatIndex, Int8FlatIndex, build_flat, build_flat_i8
 from .pq import PQIndex, build_pq
 from .ivfpq import IVFPQIndex, build_ivfpq
 from .hnsw import HNSWIndex, HNSWPQIndex, build_hnsw, build_hnsw_pq
@@ -10,7 +10,7 @@ from .graph_build import build_hnsw_tpu
 
 __all__ = [
     "load_index", "normalize_rows", "save_index",
-    "FlatIndex", "build_flat",
+    "FlatIndex", "Int8FlatIndex", "build_flat", "build_flat_i8",
     "PQIndex", "build_pq",
     "IVFPQIndex", "build_ivfpq",
     "HNSWIndex", "HNSWPQIndex", "build_hnsw", "build_hnsw_pq",

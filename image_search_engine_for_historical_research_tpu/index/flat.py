@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,3 +74,93 @@ def build_flat(
     if storage_dtype == "bfloat16":
         v = v.astype(jnp.bfloat16)
     return FlatIndex(vectors=v, metric=metric, storage_dtype=storage_dtype)
+
+
+@register("flat_i8")
+@dataclass
+class Int8FlatIndex:
+    """Flat index over an int8-quantized gallery (``ops.int8``).
+
+    Storage is 1 byte/dim + one f32 scale per row — 2 GB at 1M x 2048 vs
+    8 GB f32 / 4 GB bf16 — and the scan reads half the bytes of the bf16
+    path on the same memory-bound kernel. ``rerank="bfloat16"`` keeps a bf16
+    copy (4 GB at 1M) and re-ranks a gathered ``shortlist`` exactly; with
+    ``rerank="none"`` ranking is by dequantized int8 scores alone (measured
+    recall@100 vs exact ~1.0 on realistic descriptors, BASELINE.md).
+
+    Cosine metric only (the framework's canonical metric: the reference
+    normalizes rows before every matcher, nnsearch.py:693-698).
+    """
+
+    codes: jnp.ndarray            # (N, D) int8
+    scales: jnp.ndarray           # (N,) f32
+    rerank_vectors: Optional[jnp.ndarray] = None  # (N, D) bf16, optional
+    shortlist: int = 512
+
+    @property
+    def n(self) -> int:
+        return self.codes.shape[0]
+
+    def search(self, queries, k: int, approximate: bool = False) -> Tuple:
+        from ..ops.int8 import int8_topk, int8_topk_rerank
+
+        q = normalize_rows(jnp.asarray(queries, jnp.float32))
+        if self.rerank_vectors is not None:
+            return int8_topk_rerank(
+                q, self.codes, self.scales, self.rerank_vectors, k,
+                shortlist=max(self.shortlist, k),
+            )
+        return int8_topk(
+            q, self.codes, self.scales, k, approximate=approximate
+        )
+
+    # --- artifacts ---
+    def to_arrays(self):
+        meta = {
+            "shortlist": self.shortlist,
+            "has_rerank": self.rerank_vectors is not None,
+        }
+        arrays = {
+            "codes": np.asarray(self.codes),
+            "scales": np.asarray(self.scales, dtype=np.float32),
+        }
+        if self.rerank_vectors is not None:
+            # persist bf16 via a uint16 bit-cast (npz has no bf16 dtype)
+            arrays["rerank_bf16"] = np.asarray(
+                jax.lax.bitcast_convert_type(
+                    self.rerank_vectors.astype(jnp.bfloat16), jnp.uint16
+                )
+            )
+        return meta, arrays
+
+    @classmethod
+    def from_arrays(cls, meta, arrays):
+        rr = None
+        if meta.get("has_rerank") and "rerank_bf16" in arrays:
+            rr = jax.lax.bitcast_convert_type(
+                jnp.asarray(arrays["rerank_bf16"]), jnp.bfloat16
+            )
+        return cls(
+            codes=jnp.asarray(arrays["codes"], jnp.int8),
+            scales=jnp.asarray(arrays["scales"], jnp.float32),
+            rerank_vectors=rr,
+            shortlist=int(meta.get("shortlist", 512)),
+        )
+
+
+def build_flat_i8(
+    vecs, rerank: str = "bfloat16", shortlist: int = 512
+) -> Int8FlatIndex:
+    """Quantize a gallery to int8 (rows are L2-normalized first).
+
+    ``rerank="bfloat16"`` keeps an exact-rerank copy; ``rerank="none"``
+    stores codes+scales only (quarter-of-f32 memory).
+    """
+    from ..ops.int8 import quantize_rows_int8
+
+    v = normalize_rows(jnp.asarray(vecs, jnp.float32))
+    codes, scales = quantize_rows_int8(v)
+    rr = v.astype(jnp.bfloat16) if rerank == "bfloat16" else None
+    return Int8FlatIndex(
+        codes=codes, scales=scales, rerank_vectors=rr, shortlist=shortlist
+    )
