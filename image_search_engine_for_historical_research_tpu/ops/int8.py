@@ -37,18 +37,34 @@ ONESHOT_SCORE_BYTES = 2 << 30
 QBLOCK = 8192
 
 
-def quantize_rows_int8(x: jnp.ndarray):
-    """Per-row symmetric int8 quantization.
-
-    Returns ``(codes int8 (N, D), scales f32 (N,))`` with
-    ``x ~= scales[:, None] * codes``. All-zero rows get scale 0 (codes 0).
-    """
-    x = jnp.asarray(x, jnp.float32)
+def _quantize_block(x: jnp.ndarray):
+    x = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(x), axis=1)
     scale = amax / 127.0
     inv = jnp.where(scale > 0, 1.0 / jnp.where(scale > 0, scale, 1.0), 0.0)
     codes = jnp.clip(jnp.round(x * inv[:, None]), -127, 127).astype(jnp.int8)
     return codes, scale
+
+
+def quantize_rows_int8(x: jnp.ndarray, chunk: int = 131072):
+    """Per-row symmetric int8 quantization.
+
+    Returns ``(codes int8 (N, D), scales f32 (N,))`` with
+    ``x ~= scales[:, None] * codes``. All-zero rows get scale 0 (codes 0).
+    Rows are processed in ``chunk``-row blocks so the f32 working copy stays
+    O(chunk x D) — at 1M x 2048 a whole-array f32 temp alone is 8 GB
+    (CLAUDE.md HBM rule).
+    """
+    x = jnp.asarray(x)
+    N, D = x.shape
+    if N <= chunk:
+        return _quantize_block(x)
+    pad = (-N) % chunk
+    xp = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)], 0) if pad else x
+    codes, scales = jax.lax.map(
+        _quantize_block, xp.reshape(-1, chunk, D)
+    )
+    return codes.reshape(-1, D)[:N], scales.reshape(-1)[:N]
 
 
 @partial(jax.jit, static_argnames=("k", "approximate", "recall_target"))
