@@ -66,7 +66,7 @@ def main(argv=None):
         K = vecs.shape[0] if args.mode == "mAP" else int(args.mode)
         idx, tpq = dispatch_matcher(
             args.matching_method, K, vecs, qvecs,
-            **({} if args.matching_method in ("L2", "fractional", "LSH")
+            **({} if args.matching_method in ("L2", "L2_int8", "fractional", "LSH")
                else {"dataset": dataset, "ifgenerate": args.ifgenerate,
                      "outputs": args.outputs}),
         )

@@ -75,7 +75,7 @@ def main(argv=None):
 
 
 def _matcher_kwargs(args, name):
-    if args.matching_method in ("L2", "fractional", "LSH", "Greedyhash"):
+    if args.matching_method in ("L2", "L2_int8", "fractional", "LSH", "Greedyhash"):
         return {}
     return {
         "dataset": name,

@@ -42,7 +42,7 @@ def main(argv=None):
     K = min(args.K, len(db_paths))
     idx, tpq = dispatch_matcher(
         args.matching_method, K, vecs, qvecs,
-        **({} if args.matching_method in ("L2", "fractional", "LSH")
+        **({} if args.matching_method in ("L2", "L2_int8", "fractional", "LSH")
            else {"dataset": "custom", "ifgenerate": args.ifgenerate,
                  "outputs": args.outputs}),
     )

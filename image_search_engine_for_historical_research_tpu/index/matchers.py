@@ -25,7 +25,7 @@ import numpy as np
 
 from ..ops.hashing import fractional_topk, hamming_topk, lsh_encode, lsh_hyperplanes
 from .base import load_index, normalize_rows, save_index
-from .flat import build_flat
+from .flat import build_flat, build_flat_i8
 from .hnsw import build_hnsw, build_hnsw_pq
 from .ivfpq import build_ivfpq
 from .pq import build_pq
@@ -58,6 +58,18 @@ def matching_L2(K, train, test, warmup=True):
     q = normalize_rows(_as_rows(test))
     index = build_flat(db, metric="cosine")
     return _timed_search(index, q, min(K, db.shape[0]), warmup)
+
+
+def matching_L2_int8(K, train, test, rerank="bfloat16", shortlist=512,
+                     warmup=True):
+    """Int8-quantized exact search (no reference counterpart; plays the role
+    of faiss IndexScalarQuantizer(QT_8bit) in that ecosystem). Half the scan
+    bytes of the bf16 flat scan at the same measured recall when
+    ``rerank="bfloat16"`` (BASELINE.md int8 rows)."""
+    db = _as_rows(train)
+    q = normalize_rows(_as_rows(test))
+    index = build_flat_i8(db, rerank=rerank, shortlist=shortlist)
+    return _timed_search(index, q, min(K, index.n), warmup)
 
 
 def matching_fractional_dis(K, train, test, p=0.5, warmup=True):
@@ -213,6 +225,7 @@ def matching_IVFPQ(
 # method-name dispatch used by the CLIs (offline.py:107-116 / online.py:130-143)
 MATCHERS: Dict[str, Callable] = {
     "L2": matching_L2,
+    "L2_int8": matching_L2_int8,
     "fractional": matching_fractional_dis,
     "LSH": matching_LSH,
     "PQ": matching_Nano_PQ,

@@ -53,6 +53,22 @@ class TestMatcherContract:
         ref = np.argsort(-(qn @ dbn.T), axis=1)[:, :5]
         np.testing.assert_array_equal(idx, ref)
 
+    def test_l2_int8_matches_l2(self):
+        db, q = data(seed=4)
+        idx_l2, _ = M.matching_L2(5, db, q)
+        idx_i8, _ = M.matching_L2_int8(5, db, q, shortlist=64)
+        # int8+bf16-rerank recall vs the exact matcher on clustered data
+        # top-1 (the query's near-duplicate row) must agree exactly; deeper
+        # ranks on 0.1-spread clusters sit below bf16 score resolution, so
+        # only a loose overlap holds (see tests/test_int8.py for the
+        # recall-parity-with-bf16-scan assertion)
+        np.testing.assert_array_equal(idx_l2[:, 0], idx_i8[:, 0])
+        overlap = np.mean(
+            [len(set(idx_l2[i]) & set(idx_i8[i])) / 5 for i in range(len(q))]
+        )
+        assert overlap >= 0.8
+        assert "L2_int8" in M.MATCHERS
+
     def test_greedyhash(self):
         rng = np.random.default_rng(3)
         codes = rng.integers(0, 2, (100, 64)).astype(np.int8)
