@@ -50,16 +50,35 @@ class FlatIndex:
 
     # --- artifacts ---
     def to_arrays(self):
-        return (
-            {"metric": self.metric, "storage_dtype": self.storage_dtype},
-            {"vectors": np.asarray(self.vectors, dtype=np.float32)},
-        )
+        meta = {"metric": self.metric, "storage_dtype": self.storage_dtype}
+        if self.storage_dtype == "bfloat16":
+            # persist bf16 at native width via a uint16 bit-cast (npz has no
+            # bf16 dtype) — an f32 upcast would double artifact size and the
+            # device->host transfer for no fidelity gain
+            return meta, {
+                "vectors_bf16": np.asarray(
+                    jax.lax.bitcast_convert_type(
+                        self.vectors.astype(jnp.bfloat16), jnp.uint16
+                    )
+                )
+            }
+        return meta, {"vectors": np.asarray(self.vectors, dtype=np.float32)}
 
     @classmethod
     def from_arrays(cls, meta, arrays):
-        dtype = jnp.bfloat16 if meta.get("storage_dtype") == "bfloat16" else jnp.float32
+        if "vectors_bf16" in arrays:
+            v = jax.lax.bitcast_convert_type(
+                jnp.asarray(arrays["vectors_bf16"]), jnp.bfloat16
+            )
+        else:  # includes legacy f32-persisted bf16 artifacts
+            dtype = (
+                jnp.bfloat16
+                if meta.get("storage_dtype") == "bfloat16"
+                else jnp.float32
+            )
+            v = jnp.asarray(arrays["vectors"], dtype)
         return cls(
-            vectors=jnp.asarray(arrays["vectors"], dtype),
+            vectors=v,
             metric=meta["metric"],
             storage_dtype=meta.get("storage_dtype", "float32"),
         )
@@ -101,7 +120,11 @@ class Int8FlatIndex:
     def n(self) -> int:
         return self.codes.shape[0]
 
-    def search(self, queries, k: int, approximate: bool = False) -> Tuple:
+    def search(self, queries, k: int, approximate: Optional[bool] = None) -> Tuple:
+        """``approximate`` controls the top-k stage: approx_max_k (fuses into
+        the scan matmul, recall_target 0.95) vs exact top_k. Default: True
+        with rerank (the shortlist is >> k, so the fused scan costs nothing
+        measurable in recall), False without (ranks are then final)."""
         from ..ops.int8 import int8_topk, int8_topk_rerank
 
         q = normalize_rows(jnp.asarray(queries, jnp.float32))
@@ -109,9 +132,11 @@ class Int8FlatIndex:
             return int8_topk_rerank(
                 q, self.codes, self.scales, self.rerank_vectors, k,
                 shortlist=max(self.shortlist, k),
+                approximate=True if approximate is None else approximate,
             )
         return int8_topk(
-            q, self.codes, self.scales, k, approximate=approximate
+            q, self.codes, self.scales, k,
+            approximate=False if approximate is None else approximate,
         )
 
     # --- artifacts ---
@@ -149,18 +174,42 @@ class Int8FlatIndex:
 
 
 def build_flat_i8(
-    vecs, rerank: str = "bfloat16", shortlist: int = 512
+    vecs, rerank: str = "bfloat16", shortlist: int = 512,
+    chunk: int = 131072,
 ) -> Int8FlatIndex:
     """Quantize a gallery to int8 (rows are L2-normalized first).
 
     ``rerank="bfloat16"`` keeps an exact-rerank copy; ``rerank="none"``
     stores codes+scales only (quarter-of-f32 memory).
-    """
-    from ..ops.int8 import quantize_rows_int8
 
-    v = normalize_rows(jnp.asarray(vecs, jnp.float32))
+    Memory: rows are normalized to bf16 in ``chunk``-row blocks (host numpy
+    input is uploaded block-wise) — no full-size f32 temporary is ever
+    created (CLAUDE.md HBM rule: at 1M x 2048 a second f32 copy is 8 GB).
+    Peak device memory ~= input (if already on device) + 4 GB bf16 + 2 GB
+    codes at 1M x 2048; pass bf16 or host input at that scale.
+    """
+    import jax
+
+    from ..ops.int8 import _iter_blocks, quantize_rows_int8
+
+    N = vecs.shape[0]
+    if N <= chunk and not isinstance(vecs, np.ndarray):
+        v = normalize_rows(jnp.asarray(vecs)).astype(jnp.bfloat16)
+    else:
+        norm_block = jax.jit(
+            lambda b: (
+                b.astype(jnp.float32)
+                / jnp.clip(
+                    jnp.linalg.norm(b.astype(jnp.float32), axis=1, keepdims=True),
+                    min=1e-30,
+                )
+            ).astype(jnp.bfloat16)
+        )
+        v = jnp.concatenate(
+            [norm_block(blk) for _, blk in _iter_blocks(vecs, chunk)], axis=0
+        )
     codes, scales = quantize_rows_int8(v)
-    rr = v.astype(jnp.bfloat16) if rerank == "bfloat16" else None
+    rr = v if rerank == "bfloat16" else None
     return Int8FlatIndex(
         codes=codes, scales=scales, rerank_vectors=rr, shortlist=shortlist
     )

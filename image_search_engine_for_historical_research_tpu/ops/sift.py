@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -341,7 +341,10 @@ def _octave_keypoints(gauss: jnp.ndarray, budget: int):
     score = score[0]                                      # (3, H, W)
     offsets = offsets[0]
     _, H, W = score.shape
-    vals, flat = jax.lax.top_k(score.reshape(-1), budget)
+    # deep octaves of small images can have fewer grid cells than the
+    # budget: clamp the top_k and pad the outputs back to `budget` below
+    kb = min(budget, 3 * H * W)
+    vals, flat = jax.lax.top_k(score.reshape(-1), kb)
     valid = jnp.isfinite(vals)
     lvl = flat // (H * W)
     rem = flat % (H * W)
@@ -372,9 +375,10 @@ def _octave_keypoints(gauss: jnp.ndarray, budget: int):
     xy = jnp.stack([x, y], axis=1)
     cat = lambda a, b: jnp.concatenate([a, b], axis=0)    # noqa: E731
     score_all = cat(score1, score2)
-    sel_vals, sel = jax.lax.top_k(score_all, budget)
+    kf = min(budget, score_all.shape[0])
+    sel_vals, sel = jax.lax.top_k(score_all, kf)
 
-    return {
+    out = {
         "xy": cat(xy, xy)[sel],
         "sigma": cat(sigma_oct, sigma_oct)[sel],
         "theta": cat(theta1, theta2)[sel],
@@ -382,6 +386,15 @@ def _octave_keypoints(gauss: jnp.ndarray, budget: int):
         "score": sel_vals,
         "valid": jnp.isfinite(sel_vals),
     }
+    if kf < budget:  # pad invalid slots to the static per-octave budget
+        pad = budget - kf
+        padf = lambda a: jnp.concatenate(                  # noqa: E731
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+        )
+        out = {k: padf(v) for k, v in out.items()}
+        out["score"] = out["score"].at[kf:].set(-jnp.inf)
+        out["valid"] = out["valid"].at[kf:].set(False)
+    return out
 
 
 def default_budgets(max_kpts: int, n_octaves: int) -> Tuple[int, ...]:
@@ -469,7 +482,7 @@ def sift_extract_batch(
 
 def make_sharded_sift_fn(
     mesh,
-    hw: Tuple[int, int],
+    hw: Optional[Tuple[int, int]] = None,
     max_kpts: int = 1024,
     n_octaves: int = 4,
     axis: str = "data",
@@ -478,7 +491,10 @@ def make_sharded_sift_fn(
     + keypoint program on its shard of the image batch (per-image work is
     independent — no collectives at all). Mirrors
     ``models.extract.make_sharded_extract_fn``; batch must be divisible by
-    the mesh axis size. Returns a jitted ``(B, H, W) -> field dict`` fn."""
+    the mesh axis size. Returns a jitted ``(B, H, W) -> field dict`` fn.
+
+    ``hw``, when given, is validated against the incoming batch (the jit
+    re-specializes per image shape either way)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     budgets = default_budgets(max_kpts, n_octaves)
@@ -486,7 +502,15 @@ def make_sharded_sift_fn(
 
     @partial(jax.jit, in_shardings=(batch_sharded,),
              out_shardings=batch_sharded)
-    def fn(images):
+    def jitted(images):
         return sift_program(images, n_octaves, budgets)
+
+    def fn(images):
+        if hw is not None and tuple(images.shape[1:3]) != tuple(hw):
+            raise ValueError(
+                f"sharded SIFT fn built for hw={tuple(hw)}, got batch "
+                f"{tuple(images.shape)}"
+            )
+        return jitted(images)
 
     return fn

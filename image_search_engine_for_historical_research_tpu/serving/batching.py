@@ -145,13 +145,38 @@ class CoalescingService:
                 return
             try:
                 prepared = self._svc.prepare_batch([r.path for r in batch])
-            except BaseException as e:
-                _fail(batch, e)
-                continue
+            except BaseException:
+                # one bad upload (corrupt JPEG, vanished temp file) must not
+                # fail the other coalesced requests: probe each request's
+                # decode alone, fail only the offenders, re-prepare the rest
+                batch = self._isolate_failures(batch)
+                if not batch:
+                    continue
+                try:
+                    prepared = self._svc.prepare_batch(
+                        [r.path for r in batch]
+                    )
+                except BaseException as e:  # non-decode batch-level failure
+                    _fail(batch, e)
+                    continue
             if self.pipeline:
                 self._handoff.put((batch, prepared))
             else:
                 self._execute(batch, prepared)
+
+    def _isolate_failures(self, batch):
+        """Per-request decode probe after a batch prepare failed; returns the
+        surviving requests (offenders get their individual error set)."""
+        ok = []
+        for req in batch:
+            try:
+                self._svc.prepare_batch([req.path])
+            except BaseException as e:
+                req.error = e
+                req.event.set()
+            else:
+                ok.append(req)
+        return ok
 
     def _device_loop(self):
         while True:

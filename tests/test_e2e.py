@@ -414,6 +414,47 @@ def test_coalescing_pipeline_overlaps_host_and_device():
     assert cs.batches_run == NB
 
 
+def test_coalescing_isolates_bad_requests():
+    """One corrupt upload must not fail the other coalesced requests: the
+    dispatcher probes decodes individually and only the offender errors."""
+    import threading
+
+    from image_search_engine_for_historical_research_tpu.serving.batching import (
+        CoalescingService,
+    )
+
+    class StubService:
+        def prepare_batch(self, paths):
+            if any("bad" in p for p in paths):
+                raise ValueError(f"decode failed: {paths}")
+            return {"paths": list(paths)}
+
+        def execute_batch(self, prepared):
+            return [(p, {"ok": True}) for p in prepared["paths"]]
+
+    cs = CoalescingService(StubService(), max_batch=8, max_wait_ms=150.0)
+    results, errors = {}, {}
+
+    def go(p):
+        try:
+            results[p] = cs.query_image(p)
+        except Exception as e:
+            errors[p] = e
+
+    paths = ["good1", "bad", "good2", "good3"]
+    ts = [threading.Thread(target=go, args=(p,)) for p in paths]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    cs.close()
+    assert set(errors) == {"bad"}
+    assert isinstance(errors["bad"], ValueError)
+    assert set(results) == {"good1", "good2", "good3"}
+    for p in ("good1", "good2", "good3"):
+        assert results[p][1] == {"ok": True}
+
+
 def test_extract_1m_cli_resume_and_native_loader(small_model, monkeypatch, tmp_path):
     """The distractor-extraction CLI (extract_1m.py parity): revisitop1m-style
     imlist, checkpointed resume, and the native threaded loader."""

@@ -84,6 +84,20 @@ class TestPQ:
         got_d = np.take_along_axis(d, got_idx, axis=1)
         np.testing.assert_allclose(np.asarray(scores), -got_d, rtol=1e-4, atol=1e-4)
 
+    def test_flat_bf16_artifact_native_width(self, tmp_path):
+        """bf16 storage persists as a uint16 bit-cast (half the bytes of the
+        old f32 upcast) and loads back to identical search results."""
+        x = clustered(500, 32)
+        ix = build_flat(x, storage_dtype="bfloat16")
+        save_index(ix, str(tmp_path / "bf"))
+        arrays = dict(np.load(tmp_path / "bf" / "arrays.npz"))
+        assert "vectors_bf16" in arrays and arrays["vectors_bf16"].dtype == np.uint16
+        lx = load_index(str(tmp_path / "bf"))
+        q = x[:4]
+        _, i1 = ix.search(q, 7)
+        _, i2 = lx.search(q, 7)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
     def test_pq_recall_on_clustered_data(self):
         x = clustered(2000, 64, k=50)
         q = x[:20] + 0.01 * np.random.default_rng(3).standard_normal((20, 64)).astype(np.float32)

@@ -92,18 +92,61 @@ class TestInt8TopK:
         q = clustered(5, D=32, seed=1)
         codes, scales = quantize_rows_int8(jnp.asarray(x))
         _, i_small = int8_topk(jnp.asarray(q), codes, scales, 5)
-        # force the QBLOCK lax.map path by replicating queries past the budget
+        # force the QBLOCK host loop
         import image_search_engine_for_historical_research_tpu.ops.int8 as m
-        old_budget, old_block = m.ONESHOT_SCORE_BYTES, m.QBLOCK
+        old_block = m.QBLOCK
         try:
-            m.ONESHOT_SCORE_BYTES, m.QBLOCK = 1, 4
+            m.QBLOCK = 4
             qb = np.tile(q, (3, 1))  # Q=15 > QBLOCK=4
-            _, i_big = m.int8_topk.__wrapped__(
-                jnp.asarray(qb), codes, scales, 5
+            _, i_big = m.int8_topk(jnp.asarray(qb), codes, scales, 5)
+        finally:
+            m.QBLOCK = old_block
+        assert np.array_equal(np.asarray(i_big)[:5], np.asarray(i_small))
+
+    def test_n_chunked_scan_matches_oneshot(self):
+        # shrink the score budget so the N-chunked merge path runs
+        import image_search_engine_for_historical_research_tpu.ops.int8 as m
+        x = clustered(700, D=32)
+        q = clustered(6, D=32, seed=2)
+        codes, scales = quantize_rows_int8(jnp.asarray(x))
+        _, i_one = int8_topk(jnp.asarray(q), codes, scales, 7)
+        old = m.ONESHOT_SCORE_BYTES
+        try:
+            m.ONESHOT_SCORE_BYTES = 4096  # forces chunk=512 < N=700
+            m._int8_scan.clear_cache()
+            _, i_chunked = m.int8_topk(jnp.asarray(q), codes, scales, 7)
+        finally:
+            m.ONESHOT_SCORE_BYTES = old
+            m._int8_scan.clear_cache()
+        assert np.array_equal(np.asarray(i_chunked), np.asarray(i_one))
+
+    def test_rerank_qblock_matches_single(self):
+        import image_search_engine_for_historical_research_tpu.ops.int8 as m
+        x = clustered(300, D=32)
+        q = clustered(6, D=32, seed=4)
+        codes, scales = quantize_rows_int8(jnp.asarray(x))
+        rr = jnp.asarray(x).astype(jnp.bfloat16)
+        _, i_one = int8_topk_rerank(
+            jnp.asarray(q), codes, scales, rr, 5, shortlist=32,
+            approximate=False,
+        )
+        old_block = m.QBLOCK
+        try:
+            m.QBLOCK = 4
+            _, i_blk = m.int8_topk_rerank(
+                jnp.asarray(q), codes, scales, rr, 5, shortlist=32,
+                approximate=False,
             )
         finally:
-            m.ONESHOT_SCORE_BYTES, m.QBLOCK = old_budget, old_block
-        assert np.array_equal(np.asarray(i_big)[:5], np.asarray(i_small))
+            m.QBLOCK = old_block
+        assert np.array_equal(np.asarray(i_blk), np.asarray(i_one))
+
+    def test_host_numpy_quantize_matches_device(self):
+        x = clustered(500, D=32)
+        c_host, s_host = quantize_rows_int8(x, chunk=128)  # numpy in
+        c_dev, s_dev = quantize_rows_int8(jnp.asarray(x))
+        assert np.array_equal(np.asarray(c_host), np.asarray(c_dev))
+        assert np.allclose(np.asarray(s_host), np.asarray(s_dev))
 
 
 class TestInt8FlatIndex:
