@@ -98,12 +98,17 @@ def load_test_images_native(
 
     from ..native import load
 
-    lib = load("image_loader")
     n = len(paths)
     if n == 0:
         return []
-    s = int(imsize or 1024)
-    out = np.zeros((n, s, s, 3), np.float32)
+    if imsize is None:
+        # the native path needs a fixed canvas side; full-resolution loading
+        # (imsize=None) keeps PIL semantics exactly, per image
+        return [load_test_image(p, None) for p in paths]
+    lib = load("image_loader")
+    s = int(imsize)
+    # np.empty: decode_thumbnail_batch memsets the whole canvas itself
+    out = np.empty((n, s, s, 3), np.float32)
     hw = np.zeros((n, 2), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.decode_thumbnail_batch(

@@ -40,9 +40,21 @@ def _prune_chunk(vectors, nbr_ids, nbr_scores, m: int, alpha: float = 1.2):
 
     ``nbr_ids (B, K)`` candidates sorted by ascending distance to the node
     (excluding self), ``nbr_scores (B, K)`` their ip scores to the node.
-    Returns (B, m) kept ids (-1 padded).
+    Returns ``(ids (B, m) kept ids -1-padded, scores (B, m) their ip scores
+    (-inf at invalid slots), n_kept (B,))`` where ``n_kept`` counts the
+    HEURISTIC survivors only — slots beyond it hold keepPrunedConnections
+    backfill.
     """
     B, K = nbr_ids.shape
+    if K < m:  # tiny galleries / m > k_candidates: pad candidate columns
+        pad = m - K
+        nbr_ids = jnp.concatenate(
+            [nbr_ids, jnp.full((B, pad), -1, nbr_ids.dtype)], axis=1
+        )
+        nbr_scores = jnp.concatenate(
+            [nbr_scores, jnp.full((B, pad), -1e30, nbr_scores.dtype)], axis=1
+        )
+        K = m
     cand = vectors[jnp.clip(nbr_ids, 0)]                 # (B, K, D)
     # pairwise candidate similarity -> squared L2 (unit vectors): 2 - 2 s
     sims = jnp.einsum(
@@ -51,7 +63,7 @@ def _prune_chunk(vectors, nbr_ids, nbr_scores, m: int, alpha: float = 1.2):
     d_cc = 2.0 - 2.0 * sims                              # (B, K, K)
     d_nc = 2.0 - 2.0 * nbr_scores                        # (B, K) node-candidate
 
-    def prune_one(d_nc_row, d_cc_row, ids_row):
+    def prune_one(d_nc_row, d_cc_row, ids_row, sc_row):
         # scan candidates in order; keep j iff d(node, j) < d(j, every kept)
         def step(carry, j):
             kept_mask, n_kept = carry
@@ -74,9 +86,11 @@ def _prune_chunk(vectors, nbr_ids, nbr_scores, m: int, alpha: float = 1.2):
         chosen = jnp.where(jnp.arange(K) < m, ids_row[order], -1)[:m]
         # mask out candidates that were invalid
         valid = jnp.where(jnp.arange(K) < m, ids_row[order] >= 0, False)[:m]
-        return jnp.where(valid, chosen, -1)
+        n_kept = jnp.minimum(kept_mask.sum().astype(jnp.int32), m)
+        sc = jnp.where(valid, sc_row[order][:m], -jnp.inf)
+        return jnp.where(valid, chosen, -1), sc, n_kept
 
-    return jax.vmap(prune_one)(d_nc, d_cc, nbr_ids)
+    return jax.vmap(prune_one)(d_nc, d_cc, nbr_ids, nbr_scores)
 
 
 def build_knn_graph(
@@ -154,19 +168,36 @@ def build_hnsw_graph_tpu(
 
     # device pruning to m0 forward edges per node (chunked)
     pruned = np.empty((N, m0), np.int32)
+    pruned_sc = np.empty((N, m0), np.float32)
+    fwd_kept = np.empty((N,), np.int32)
     for s in range(0, N, batch):
-        pruned[s : s + batch] = np.asarray(
-            _prune_chunk(
-                vectors,
-                jnp.asarray(cand_ids[s : s + batch]),
-                jnp.asarray(cand_scores[s : s + batch]),
-                m0,
-                alpha,
-            )
+        p_c, s_c, k_c = _prune_chunk(
+            vectors,
+            jnp.asarray(cand_ids[s : s + batch]),
+            jnp.asarray(cand_scores[s : s + batch]),
+            m0,
+            alpha,
         )
+        pruned[s : s + batch] = np.asarray(p_c)
+        pruned_sc[s : s + batch] = np.asarray(s_c)
+        fwd_kept[s : s + batch] = np.asarray(k_c)
 
-    # reverse-edge union capped at m0 by distance (host, vectorized)
-    nbr0 = _add_reverse_edges(pruned, cand_ids, cand_scores, m0)
+    # reverse-edge union: re-run the heuristic over candidates + backlinks
+    # (the hnswlib shrink semantics), chunked on device
+    bl_ids, bl_sc = _gather_backlinks(pruned, pruned_sc, fwd_kept, m0)
+    nbr0 = np.empty((N, m0), np.int32)
+    for s in range(0, N, batch):
+        e = min(s + batch, N)
+        u_ids = np.concatenate([cand_ids[s:e], bl_ids[s:e]], axis=1)
+        u_sc = np.concatenate([cand_scores[s:e], bl_sc[s:e]], axis=1)
+        _dedup_rows(u_ids, u_sc)
+        order = np.argsort(-u_sc, axis=1, kind="stable")
+        u_ids = np.take_along_axis(u_ids, order, 1)
+        u_sc = np.take_along_axis(u_sc, order, 1)
+        p_c, _, _ = _prune_chunk(
+            vectors, jnp.asarray(u_ids), jnp.asarray(u_sc), m0, alpha
+        )
+        nbr0[s:e] = np.asarray(p_c)
 
     # geometric levels + upper-level lists from candidates within the level set
     rng = np.random.default_rng(seed)
@@ -206,36 +237,55 @@ def build_hnsw_graph_tpu(
     return nbr0, nbru, levels.astype(np.int32), entry, top_level
 
 
-def _add_reverse_edges(pruned, cand_ids, cand_scores, m0):
-    """Union forward + reverse edges per node, capped at m0 (vectorized).
+def _gather_backlinks(pruned, pruned_sc, fwd_kept, m0):
+    """Per-node reverse-edge lists (ids, ip scores), -1/-inf padded (N, m0).
 
-    Forward edges (already distance-sorted by the pruner) keep their slots;
-    reverse edges fill the remaining slots in forward-rank order — the order
-    HNSW inserts backlinks in. Fully numpy-vectorized: a python edge loop is
-    ~32M iterations at 1M x 32.
+    A reverse edge ``dst <- src`` exists for every HEURISTIC survivor edge
+    ``src -> dst`` (backfill slots are not real graph edges); its distance
+    is symmetric, so the score is read off the source's pruned row — no
+    recompute. Each node keeps its nearest m0 backlinks. Without backlinks
+    a node that appears in nobody's candidate top-k has zero in-degree and
+    is unreachable by greedy search (the bug this pass exists to prevent:
+    the pruner's keepPrunedConnections backfill fills all m0 slots, so a
+    slots-only union never fires). Fully numpy-vectorized: a python edge
+    loop is ~32M iterations at 1M x 32.
     """
     N = pruned.shape[0]
-    fwd_counts = (pruned >= 0).sum(axis=1).astype(np.int64)
-
     src = np.repeat(np.arange(N, dtype=np.int64), m0)
     dst = pruned.reshape(-1).astype(np.int64)
     rank = np.tile(np.arange(m0, dtype=np.int64), N)
-    ok = (dst >= 0) & (src != dst)
-    src, dst, rank = src[ok], dst[ok], rank[ok]
+    sc = pruned_sc.reshape(-1)
+    ok = (dst >= 0) & (src != dst) & (rank < fwd_kept.astype(np.int64)[src])
+    src, dst, sc = src[ok], dst[ok], sc[ok]
 
-    # group reverse edges by dst, ordered by forward rank
-    order = np.lexsort((rank, dst))
-    dst_s, src_s = dst[order], src[order]
+    # group by dst, nearest (highest score) first
+    order = np.lexsort((-sc, dst))
+    dst_s, src_s, sc_s = dst[order], src[order], sc[order]
     group_start = np.searchsorted(dst_s, np.arange(N))
     pos_in_group = np.arange(len(dst_s)) - group_start[dst_s]
+    keep = pos_in_group < m0
 
-    slot = fwd_counts[dst_s] + pos_in_group
-    accept = slot < m0
+    bl_ids = np.full((N, m0), -1, np.int32)
+    bl_sc = np.full((N, m0), -np.inf, np.float32)
+    bl_ids[dst_s[keep], pos_in_group[keep]] = src_s[keep].astype(np.int32)
+    bl_sc[dst_s[keep], pos_in_group[keep]] = sc_s[keep]
+    return bl_ids, bl_sc
 
-    out = pruned.copy()
-    out_flat = out.reshape(-1)
-    out_flat[dst_s[accept] * m0 + slot[accept]] = src_s[accept].astype(np.int32)
-    return out_flat.reshape(N, m0)
+
+def _dedup_rows(ids, sc):
+    """In-place: mark duplicate ids within each row invalid (id -1,
+    score -inf), keeping one occurrence. Vectorized via row-wise sort."""
+    B, W = ids.shape
+    order = np.argsort(ids, axis=1, kind="stable")
+    sorted_ids = np.take_along_axis(ids, order, 1)
+    dup_sorted = np.zeros((B, W), bool)
+    dup_sorted[:, 1:] = (sorted_ids[:, 1:] == sorted_ids[:, :-1]) & (
+        sorted_ids[:, 1:] >= 0
+    )
+    dup = np.zeros((B, W), bool)
+    np.put_along_axis(dup, order, dup_sorted, 1)
+    ids[dup] = -1
+    sc[dup] = -np.inf
 
 
 def build_hnsw_tpu(

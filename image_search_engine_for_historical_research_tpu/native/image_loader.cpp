@@ -140,6 +140,10 @@ void decode_thumbnail_batch(const char** paths, int n, int imsize, float* out,
     for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
       int h = 0, w = 0;
       hw[2 * i] = hw[2 * i + 1] = 0;
+      // an exception escaping a thread entry calls std::terminate — a
+      // crafted header declaring e.g. 65500x65500 can make the decode
+      // buffers throw bad_alloc; report failure (PIL fallback) instead
+      try {
       if (!decode_jpeg(paths[i], imsize, rgb, h, w)) continue;
       int th = h, tw = w;
       const int full = std::max(h, w);
@@ -165,6 +169,9 @@ void decode_thumbnail_batch(const char** paths, int n, int imsize, float* out,
       }
       hw[2 * i] = th;
       hw[2 * i + 1] = tw;
+      } catch (...) {
+        hw[2 * i] = hw[2 * i + 1] = 0;
+      }
     }
   };
 

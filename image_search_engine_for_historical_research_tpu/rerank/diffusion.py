@@ -61,11 +61,26 @@ class DiffusionOffline:
     def on_host(self) -> bool:
         return isinstance(self.trunc_ids, np.ndarray)
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, chunk_rows: int = 65536) -> None:
+        """Persist the artifact. Device-resident arrays transfer to host in
+        ``chunk_rows``-row slices: one np.asarray of a multi-GB device array
+        stalls for 30+ min through the tunnel's ~MB/s device->host path
+        (CLAUDE.md); chunking bounds each transfer and keeps host peak at
+        artifact size + one slice."""
+
+        def pull(a, dtype=None):
+            if isinstance(a, np.ndarray):
+                return a.astype(dtype) if dtype is not None else a
+            N = a.shape[0]
+            out = np.empty(a.shape, dtype or a.dtype)
+            for s in range(0, N, chunk_rows):
+                out[s : s + chunk_rows] = np.asarray(a[s : s + chunk_rows])
+            return out
+
         np.savez(
             path,
-            trunc_ids=np.asarray(self.trunc_ids, np.int32),
-            scores=np.asarray(self.scores),
+            trunc_ids=pull(self.trunc_ids, np.int32),
+            scores=pull(self.scores),
         )
 
     @classmethod

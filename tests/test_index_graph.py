@@ -239,6 +239,44 @@ class TestTPUGraphBuild:
         assert (np.asarray(i)[:, 0] == np.arange(4)).all()
 
 
+    def test_reverse_edges_give_outliers_in_degree(self):
+        """Backlinks must displace keepPrunedConnections backfill: a node
+        that appears in nobody's candidate top-k (zero in-degree in the kNN
+        graph) still gets in-edges via the reverse pass, so greedy search
+        can reach it."""
+        from image_search_engine_for_historical_research_tpu.index import (
+            build_hnsw_tpu,
+        )
+
+        rng = np.random.default_rng(0)
+        # dense cluster + one far outlier: the outlier's kNN are cluster
+        # points, but no cluster point has the outlier in its top-k
+        x = rng.standard_normal((300, 32)).astype(np.float32) * 0.05
+        x[0] += 10.0  # outlier
+        ix = build_hnsw_tpu(x, m=4, k_candidates=16, batch=128)
+        nbr0 = np.asarray(ix.nbr0)
+        in_deg = np.bincount(nbr0[nbr0 >= 0], minlength=300)
+        assert in_deg[0] >= 1, "outlier has no in-edges: reverse pass no-op"
+        # and every node keeps a full, valid neighbor row
+        assert (nbr0 >= 0).sum(1).min() >= 1
+        # the outlier is actually retrievable by graph search
+        _, idx = ix.search(x[:1], 1, ef=32)
+        assert int(np.asarray(idx)[0, 0]) == 0
+
+    def test_small_gallery_m_exceeds_candidates(self):
+        """N small enough that k_candidates < m0 used to crash the pruner
+        with a broadcast error; it must build and search."""
+        from image_search_engine_for_historical_research_tpu.index import (
+            build_hnsw_tpu,
+        )
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((30, 16)).astype(np.float32)
+        ix = build_hnsw_tpu(x, m=16, batch=16)  # m0=32 > k_candidates=29
+        _, idx = ix.search(x[:5], 3, ef=16)
+        assert (np.asarray(idx)[:, 0] == np.arange(5)).all()
+
+
 class TestGroupExpansion:
     """The vectorized member expansion must match a straight per-query loop."""
 
