@@ -242,8 +242,8 @@ def build_ivfpq(
     np.cumsum(counts[:-1], out=offsets[1:])
 
     if seg is None:
-        p95 = int(np.quantile(counts, 0.95)) if nlist > 1 else int(counts.max())
-        seg = 1 << max(int(np.ceil(np.log2(max(p95, 128)))), 7)
+        p99 = int(np.quantile(counts, 0.99)) if nlist > 1 else int(counts.max())
+        seg = 1 << max(int(np.ceil(np.log2(max(p99, 128)))), 7)
     # tail padding so every dynamic_slice window stays in bounds
     Npad = N + seg
     flat_codes = np.zeros((Npad, M), codes_h.dtype)

@@ -236,8 +236,20 @@ def _rerank_candidates(vectors, leaf_items, leaf, queries, k: int):
         )
         dup_mask = jnp.zeros_like(valid).at[order].set(dup)
         s = jnp.where(valid & ~dup_mask, s, -jnp.inf)
-        top_s, sel = jax.lax.top_k(s, min(k, s.shape[0]))
-        return top_s, cand[sel]
+        kk = min(k, s.shape[0])
+        top_s, sel = jax.lax.top_k(s, kk)
+        top_i = cand[sel]
+        if kk < k:
+            # keep the (Q, k) rank-matrix contract even when the candidate
+            # budget T*leaf_max < k: pad with the best id at -inf score
+            # (duplicate ids already occur when the union runs short)
+            top_s = jnp.concatenate(
+                [top_s, jnp.full((k - kk,), -jnp.inf, top_s.dtype)]
+            )
+            top_i = jnp.concatenate(
+                [top_i, jnp.broadcast_to(top_i[:1], (k - kk,))]
+            )
+        return top_s, top_i
 
     return jax.vmap(per_query)(queries, leaf)
 

@@ -93,8 +93,10 @@ def _beam_search_l0(dist_to, nbr0, entries, entry_ds, N, ef, max_steps):
 
         cand = nbr0[node]                                   # (m0,)
         fresh = jnp.logical_and(cand >= 0, ~visited[jnp.clip(cand, 0)])
-        visited = visited.at[jnp.where(fresh, cand, 0)].set(True)
-        # (padding writes hit index 0 harmlessly: it is already visited)
+        # max-combine so non-fresh slots (padding/-1, already seen) are
+        # no-ops at their clipped index — a plain set(True) at index 0 would
+        # falsely mark node 0 visited and make it unreachable forever.
+        visited = visited.at[jnp.clip(cand, 0)].max(fresh)
         d = jnp.where(fresh, dist_to(cand), INF)
 
         all_ids = jnp.concatenate([beam_ids, cand])

@@ -222,16 +222,6 @@ def streaming_exact_topk(
     N = db_host.shape[0]
     k = min(k, N)
 
-    @partial(jax.jit, static_argnames=("kk", "metric"))
-    def merge_chunk(best_s, best_i, q, block, base, kk, metric):
-        s, i = exact_topk(q, block, kk, metric=metric,
-                          matmul_dtype=matmul_dtype)
-        i = i + base
-        cs = jnp.concatenate([best_s, s], axis=1)
-        ci = jnp.concatenate([best_i, i], axis=1)
-        ts, t = jax.lax.top_k(cs, kk)
-        return ts, jnp.take_along_axis(ci, t, axis=1)
-
     best_s = jnp.full((Q, k), -jnp.inf, jnp.float32)
     best_i = jnp.zeros((Q, k), jnp.int32)
     for start in range(0, N, device_chunk):
@@ -251,7 +241,20 @@ def streaming_exact_topk(
             ts, t = jax.lax.top_k(cs, k)
             best_s, best_i = ts, jnp.take_along_axis(ci, t, 1)
         else:
-            best_s, best_i = merge_chunk(
-                best_s, best_i, queries, block, start, k, metric
+            best_s, best_i = _merge_chunk(
+                best_s, best_i, queries, block, start, k, metric,
+                matmul_dtype,
             )
     return best_s, best_i
+
+
+@partial(jax.jit, static_argnames=("kk", "metric", "matmul_dtype"))
+def _merge_chunk(best_s, best_i, q, block, base, kk, metric, matmul_dtype):
+    # module-level jit: a per-call jax.jit(closure) in streaming_exact_topk
+    # retraced on every invocation (~35 s/compile through the tunnel)
+    s, i = exact_topk(q, block, kk, metric=metric, matmul_dtype=matmul_dtype)
+    i = i + base
+    cs = jnp.concatenate([best_s, s], axis=1)
+    ci = jnp.concatenate([best_i, i], axis=1)
+    ts, t = jax.lax.top_k(cs, kk)
+    return ts, jnp.take_along_axis(ci, t, axis=1)

@@ -325,6 +325,8 @@ def adalam_count_pairs(
     filt = AdalamFilter(custom_config)
     counter = filt.make_banked_counter()
     P = len(feats_q)
+    if P == 0:
+        return np.zeros((0,), np.int64)
     K = feats_q[0].xy.shape[0]
     counts = np.zeros((P,), np.int64)
 
@@ -388,6 +390,9 @@ def sift_rerank(
     """
     ranks = np.asarray(ranks)
     Q = len(query_paths)
+    b = min(b, ranks.shape[1]) if ranks.size else 0
+    if Q == 0 or b == 0:
+        return ranks
 
     cache: dict = {}
 

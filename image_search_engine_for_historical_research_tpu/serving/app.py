@@ -26,18 +26,16 @@ from ..models.extract import extract_vectors_single, make_extract_fn
 from ..rerank.qe import qge1
 
 
-def _diffusion_shortlist_scores_batch(ids3, qvecs, vecs_dev, off_ids, off_scores, k_out):
-    """Batched diffusion online pass: ``ids3`` (B, s) seed ids per query.
-
-    vmapped body of ``_diffusion_shortlist_scores`` + fused top-K — one device
-    program for a whole coalesced micro-batch (see ``serving.batching``).
-    """
+def _jit_diffusion_kernels():
+    # jitted ONCE at module scope: a fresh jax.jit(closure) per request would
+    # retrace and remote-compile (~35 s through the tunnel) on EVERY query —
+    # the exact trap CLAUDE.md and ops/graph_search.py document
     import jax
     import jax.numpy as jnp
     from functools import partial
 
     @partial(jax.jit, static_argnames=("n", "full", "k_out"))
-    def run(ids3, qvecs, vecs, oi, os_, n, full, k_out):
+    def run_batch(ids3, qvecs, vecs, oi, os_, n, full, k_out):
         def one(ids, q, oi_q, os_q):
             sims = vecs[ids] @ q
             w = jnp.clip(sims, min=0.0) ** 3
@@ -49,9 +47,37 @@ def _diffusion_shortlist_scores_batch(ids3, qvecs, vecs_dev, off_ids, off_scores
                               os_ if not full else ids3)
         return jax.lax.top_k(dense, k_out)
 
+    @partial(jax.jit, static_argnames=("n", "full"))
+    def run_one(ids3, qvec, vecs, oi, os_, n, full):
+        sims = vecs[ids3] @ qvec                       # (k,) seed similarities
+        w = jnp.clip(sims, min=0.0) ** 3               # sims**3 (:242)
+        rows_i = oi[ids3] if full else oi              # (k, T)
+        rows_v = (os_[ids3] if full else os_).astype(jnp.float32) * w[:, None]
+        return jnp.zeros((n,), jnp.float32).at[rows_i.ravel()].add(rows_v.ravel())
+
+    return run_batch, run_one
+
+
+_DIFFUSION_KERNELS = None
+
+
+def _diffusion_kernels():
+    global _DIFFUSION_KERNELS
+    if _DIFFUSION_KERNELS is None:
+        _DIFFUSION_KERNELS = _jit_diffusion_kernels()
+    return _DIFFUSION_KERNELS
+
+
+def _diffusion_shortlist_scores_batch(ids3, qvecs, vecs_dev, off_ids, off_scores, k_out):
+    """Batched diffusion online pass: ``ids3`` (B, s) seed ids per query.
+
+    vmapped body of ``_diffusion_shortlist_scores`` + fused top-K — one device
+    program for a whole coalesced micro-batch (see ``serving.batching``).
+    """
+    run_batch, _ = _diffusion_kernels()
     full = off_ids.shape[0] == vecs_dev.shape[0]
-    return run(ids3, qvecs, vecs_dev, off_ids, off_scores,
-               vecs_dev.shape[0], full, k_out)
+    return run_batch(ids3, qvecs, vecs_dev, off_ids, off_scores,
+                     vecs_dev.shape[0], full, k_out)
 
 
 def _diffusion_shortlist_scores(ids3, qvec, vecs_dev, off_ids, off_scores):
@@ -68,20 +94,10 @@ def _diffusion_shortlist_scores(ids3, qvec, vecs_dev, off_ids, off_scores):
     (indexed by ``ids3``) or the 3 pre-gathered rows of a host artifact
     (then ``ids3`` only selects the seed gallery vectors for the weights).
     """
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("n", "full"))
-    def run(ids3, qvec, vecs, oi, os_, n, full):
-        sims = vecs[ids3] @ qvec                       # (k,) seed similarities
-        w = jnp.clip(sims, min=0.0) ** 3               # sims**3 (:242)
-        rows_i = oi[ids3] if full else oi              # (k, T)
-        rows_v = (os_[ids3] if full else os_).astype(jnp.float32) * w[:, None]
-        return jnp.zeros((n,), jnp.float32).at[rows_i.ravel()].add(rows_v.ravel())
-
+    _, run_one = _diffusion_kernels()
     full = off_ids.shape[0] == vecs_dev.shape[0]
-    return run(ids3, qvec, vecs_dev, off_ids, off_scores, vecs_dev.shape[0], full)
+    return run_one(ids3, qvec, vecs_dev, off_ids, off_scores,
+                   vecs_dev.shape[0], full)
 
 
 class SearchService:
@@ -276,15 +292,19 @@ class SearchService:
             return []
         images, mask, B, slot = (prepared["images"], prepared["mask"],
                                  prepared["B"], prepared["slot"])
+        # every stage runs at the padded SLOT shape; slicing to the raw B
+        # before search/rerank would compile those programs once per distinct
+        # concurrency level (B=1..32) instead of once per slot — results are
+        # read out for the first B rows only, below
         t0 = time.time()
         qvecs = np.asarray(
             self._extract_fn(
                 self.model.params, jnp.asarray(images), jnp.asarray(mask)
             )
-        )[:B]
+        )
         t1 = time.time()
         scores, idx = self.index.search(jnp.asarray(qvecs), self.K)
-        idx = np.asarray(idx)[:B]
+        idx = np.asarray(idx)
         t2 = time.time()
         if self.rerank == "qge1":
             ranks = qge1(jnp.asarray(idx), jnp.asarray(qvecs),

@@ -83,11 +83,22 @@ class Trainer:
         dataset.poolsize = config.poolsize
         self.rng = np.random.default_rng(config.seed)
 
+        # The reference decays lr per *epoch* (torch ExponentialLR,
+        # main_train.py:297-305); optax schedules tick per optimizer step, so
+        # map epochs onto steps via the expected steps/epoch. Mining targets
+        # ``qsize`` tuples, of which val_fraction go to validation; with
+        # update_every-step accumulation the inner optimizer steps once per
+        # ``update_every`` micro-batches.
+        est_train_tuples = max(1, int(config.qsize * (1 - config.val_fraction)))
+        steps_per_epoch = max(
+            1, est_train_tuples // (config.batch_tuples * config.update_every)
+        )
         self.tx, _ = make_optimizer(
             model.params["params"],
             lr=config.lr,
             weight_decay=config.weight_decay,
             exp_decay=config.exp_decay,
+            epochs_per_step=1.0 / steps_per_epoch,
             freeze_backbone=config.freeze_backbone,
         )
         if config.update_every > 1:
@@ -149,7 +160,11 @@ class Trainer:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(
                 os.path.join(d, f"epoch_{epoch}"),
-                {"params": self.state.params, "step": self.state.step},
+                {
+                    "params": self.state.params,
+                    "opt_state": self.state.opt_state,
+                    "step": self.state.step,
+                },
                 force=True,
             )
         meta = {
@@ -176,17 +191,34 @@ class Trainer:
             meta = json.load(f)
         epoch = meta["epoch"]
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(
-                os.path.join(d, f"epoch_{epoch}"),
-                {"params": self.state.params, "step": self.state.step},
-            )
+            try:
+                # full resume: Adam moments + MultiSteps accumulation counters
+                # come back with the params (the reference restores the torch
+                # optimizer dict the same way, main_train.py:308-326)
+                restored = ckptr.restore(
+                    os.path.join(d, f"epoch_{epoch}"),
+                    {
+                        "params": self.state.params,
+                        "opt_state": self.state.opt_state,
+                        "step": self.state.step,
+                    },
+                )
+                opt_state = restored["opt_state"]
+            except (ValueError, KeyError, FileNotFoundError):
+                # pre-round-3 checkpoints persisted params only
+                restored = ckptr.restore(
+                    os.path.join(d, f"epoch_{epoch}"),
+                    {"params": self.state.params, "step": self.state.step},
+                )
+                opt_state = self.tx.init(restored["params"]["params"])
         self.state = TrainState(
             params=restored["params"],
-            opt_state=self.tx.init(restored["params"]["params"]),
+            opt_state=opt_state,
             step=restored["step"],
         )
         self.model.params = restored["params"]
         self.best_val = float(meta.get("best_val", float("inf")))
+        self.history = [EpochMetrics(**m) for m in meta.get("history", [])]
         self.start_epoch = epoch + 1
         return True
 

@@ -267,6 +267,39 @@ def test_query_batch_matches_sequential(workspace, small_model, monkeypatch):
     assert service.query_batch([]) == []
 
 
+def test_query_batch_runs_stages_at_slot_shape(workspace, small_model, monkeypatch):
+    """Search/rerank must run at the padded SLOT batch shape: slicing to the
+    raw B first would compile those programs once per distinct concurrency
+    level (defeating the BATCH_SLOTS padding)."""
+    from image_search_engine_for_historical_research_tpu.cli import online
+
+    root, db_paths, q_paths = workspace
+    _ensure_store(root, small_model, monkeypatch)
+    monkeypatch.setattr(online, "load_network", lambda *a, **k: small_model)
+    args = online.build_parser().parse_args([
+        "--datasets", "db",
+        "--data-root", str(root / "data"),
+        "--matching-method", "L2",
+        "--outputs", str(root / "outputs"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--K", "5",
+    ])
+    service = online.make_service(args)
+    seen = []
+    real_search = service.index.search
+
+    class SpyIndex:
+        def search(self, q, k):
+            seen.append(int(q.shape[0]))
+            return real_search(q, k)
+
+    service.index = SpyIndex()
+    B = 3  # not a slot size; the next slot is 4
+    service.query_batch((list(q_paths) * B)[:B])
+    assert seen == [4], seen
+
+
 def test_coalescing_service_concurrent(workspace, small_model, monkeypatch):
     """Concurrent query_image calls through CoalescingService coalesce into
     fewer device batches and return per-request results identical to the

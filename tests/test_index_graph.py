@@ -277,6 +277,29 @@ class TestTPUGraphBuild:
         assert (np.asarray(idx)[:, 0] == np.arange(5)).all()
 
 
+class TestBeamVisitedSet:
+    def test_node0_reachable_through_expansion(self):
+        """Non-fresh neighbor slots must not mark node 0 visited.
+
+        Regression: the beam's visited scatter used index 0 as the dump slot
+        for padding/-1 and already-visited neighbors, permanently hiding
+        gallery node 0 unless it was an entry point. Chain graph 3->2->1->0
+        with -1 padding in the entry's row triggers the poisoning on the
+        first expansion; node 0 is the true NN of the query."""
+        from image_search_engine_for_historical_research_tpu.ops.graph_search import (
+            hnsw_search_batch,
+        )
+
+        vectors = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0]])
+        nbr0 = jnp.asarray(
+            [[1, -1], [2, 0], [3, 1], [2, -1]], jnp.int32
+        )
+        nbru = jnp.zeros((0, 4, 2), jnp.int32)
+        q = jnp.asarray([[0.0, 0.0]])
+        _, ids = hnsw_search_batch(vectors, nbr0, nbru, 3, q, k=2, ef=4)
+        assert int(np.asarray(ids)[0, 0]) == 0
+
+
 class TestGroupExpansion:
     """The vectorized member expansion must match a straight per-query loop."""
 
