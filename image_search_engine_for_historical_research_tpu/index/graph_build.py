@@ -34,6 +34,15 @@ import numpy as np
 from ..ops.topk import exact_topk
 
 
+@jax.jit
+def _normalize_bf16_chunk(x):
+    """Row-normalize one chunk in f32 and emit bf16 (semantics of
+    ``index.base.normalize_rows`` with eps=0)."""
+    x32 = x.astype(jnp.float32)
+    n = jnp.linalg.norm(x32, axis=1, keepdims=True)
+    return (x32 / jnp.clip(n, min=1e-30)).astype(jnp.bfloat16)
+
+
 @partial(jax.jit, static_argnames=("m", "alpha"))
 def _prune_chunk(vectors, nbr_ids, nbr_scores, m: int, alpha: float = 1.2):
     """Heuristic-prune each node's candidate list on device.
@@ -99,6 +108,8 @@ def build_knn_graph(
     batch: int = 4096,
     matmul_dtype=jnp.bfloat16,
     mesh=None,
+    approximate: bool = False,
+    recall_target: float = 0.99,
 ):
     """Exact kNN graph (ids + ip scores), self excluded, via batched scans.
 
@@ -107,6 +118,14 @@ def build_knn_graph(
     the dominant ~N/batch matmul passes then scale linearly with mesh size
     (the "v5e-8 builds the 1M index in minutes" path; VERDICT r2 #2). Row
     count must be divisible by the mesh size in that mode.
+
+    ``approximate``: use the fused ``lax.approx_max_k`` for the per-batch
+    candidate selection instead of exact ``lax.top_k`` — candidates feed a
+    heuristic pruner that keeps only m0 of them, so a ~1% tail miss does not
+    change graph quality (beam recall parity is asserted in tests), while the
+    top-k cost disappears into the producing matmul. The self hit scores
+    exactly 1.0 (row max), which ``approx_max_k`` retains, so self-removal
+    below is unaffected.
     """
     N = vectors.shape[0]
     k_eff = min(k + 1, N)
@@ -117,17 +136,11 @@ def build_knn_graph(
         db = shard_batch(vectors, mesh)
     ids = np.empty((N, k_eff - 1), np.int32)
     scores = np.empty((N, k_eff - 1), np.float32)
-    for s in range(0, N, batch):
-        q = vectors[s : s + batch]
-        if mesh is not None:
-            sc, ix = sharded_exact_topk(
-                q, db, k_eff, mesh, matmul_dtype=matmul_dtype
-            )
-        else:
-            sc, ix = exact_topk(q, db, k_eff, matmul_dtype=matmul_dtype)
-        sc, ix = np.asarray(sc), np.asarray(ix)
+
+    def _drain(item):
+        s, B, sc_dev, ix_dev = item
+        sc, ix = np.asarray(sc_dev), np.asarray(ix_dev)
         # drop the self column (wherever it appears in the top list)
-        B = q.shape[0]
         rows = np.arange(s, s + B)[:, None]
         self_mask = ix == rows
         # stable removal of one self hit per row
@@ -139,6 +152,29 @@ def build_knn_graph(
         keep[~has_self, -1] = False
         ids[s : s + B] = ix[keep].reshape(B, k_eff - 1)
         scores[s : s + B] = sc[keep].reshape(B, k_eff - 1)
+
+    # double-buffered dispatch: JAX calls are async, so issuing batch i+1
+    # before fetching batch i overlaps the device scan with the (slow through
+    # the tunnel: ~66 MB/s measured) device->host result transfer. Pending
+    # results are O(batch x k) — a few MB on device.
+    pending = []
+    for s in range(0, N, batch):
+        q = vectors[s : s + batch]
+        if mesh is not None:
+            sc, ix = sharded_exact_topk(
+                q, db, k_eff, mesh, matmul_dtype=matmul_dtype,
+                approximate=approximate, recall_target=recall_target,
+            )
+        else:
+            sc, ix = exact_topk(
+                q, db, k_eff, matmul_dtype=matmul_dtype,
+                approximate=approximate, recall_target=recall_target,
+            )
+        pending.append((s, q.shape[0], sc, ix))
+        if len(pending) >= 3:
+            _drain(pending.pop(0))
+    for item in pending:
+        _drain(item)
     return ids, scores
 
 
@@ -149,22 +185,37 @@ def build_hnsw_graph_tpu(
     k_candidates: int = 96,
     max_levels: int = 6,
     seed: int = 42,
-    batch: int = 4096,
+    batch: int = 8192,
     alpha: float = 1.2,
     mesh=None,
+    approximate: bool = True,
+    verbose: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
     """Full graph build; returns (nbr0, nbru, levels, entry, top_level) in the
     native builder's output format. ``mesh`` shards the kNN pass (the
     dominant cost) over the device mesh; pruning/levels are unchanged, so
     sharded and single-device builds produce identical graphs up to
-    score-tie ordering."""
+    score-tie ordering. ``approximate`` uses the matmul-fused approx_max_k
+    for candidate generation (see ``build_knn_graph``)."""
+    import time as _time
+
     N, D = vectors.shape
     m0 = m0 or 2 * m
     k_candidates = min(k_candidates, N - 1)
 
+    t0 = _time.perf_counter()
+
+    def _tick(stage):
+        nonlocal t0
+        if verbose:
+            t1 = _time.perf_counter()
+            print(f"[graph_build] {stage}: {t1 - t0:.1f} s", flush=True)
+            t0 = t1
+
     cand_ids, cand_scores = build_knn_graph(
-        vectors, k_candidates, batch, mesh=mesh
+        vectors, k_candidates, batch, mesh=mesh, approximate=approximate
     )
+    _tick("kNN candidate pass")
 
     # device pruning to m0 forward edges per node (chunked)
     pruned = np.empty((N, m0), np.int32)
@@ -181,10 +232,12 @@ def build_hnsw_graph_tpu(
         pruned[s : s + batch] = np.asarray(p_c)
         pruned_sc[s : s + batch] = np.asarray(s_c)
         fwd_kept[s : s + batch] = np.asarray(k_c)
+    _tick("forward prune")
 
     # reverse-edge union: re-run the heuristic over candidates + backlinks
     # (the hnswlib shrink semantics), chunked on device
     bl_ids, bl_sc = _gather_backlinks(pruned, pruned_sc, fwd_kept, m0)
+    _tick("backlink gather")
     nbr0 = np.empty((N, m0), np.int32)
     for s in range(0, N, batch):
         e = min(s + batch, N)
@@ -198,6 +251,7 @@ def build_hnsw_graph_tpu(
             vectors, jnp.asarray(u_ids), jnp.asarray(u_sc), m0, alpha
         )
         nbr0[s:e] = np.asarray(p_c)
+    _tick("reverse-union re-prune")
 
     # geometric levels + upper-level lists from candidates within the level set
     rng = np.random.default_rng(seed)
@@ -234,6 +288,7 @@ def build_hnsw_graph_tpu(
 
     top_level = int(levels.max())
     entry = int(np.argmax(levels))
+    _tick("levels")
     return nbr0, nbru, levels.astype(np.int32), entry, top_level
 
 
@@ -295,27 +350,47 @@ def build_hnsw_tpu(
     k_candidates: int = 96,
     seed: int = 42,
     normalize: bool = True,
-    batch: int = 4096,
+    batch: int = 8192,
     alpha: float = 1.2,
     mesh=None,
+    approximate: bool = True,
+    verbose: bool = False,
 ):
     """Drop-in fast builder returning an ``HNSWIndex``.
 
     Vectors are stored bfloat16: at 1M x 2048 the f32 database plus one bf16
     working copy exceeds single-chip HBM (measured 16.1 GB > 15.7), and bf16
     distances only reorder near-ties (recall checked in tests).
+
+    ``approximate=True`` (default) runs the candidate kNN pass with the
+    matmul-fused ``approx_max_k`` one-shot scan — measured 36-45 us/query at
+    1M vs 422 us for the exact chunked scan, with candidate recall 0.997 and
+    *identical* final beam recall (the pruner keeps m0 of ~k candidates, so
+    the ~1% candidate tail never survives anyway; asserted in tests).
     """
     from .base import normalize_rows
     from .hnsw import HNSWIndex
 
     v = jnp.asarray(vecs)
     if normalize:
-        v = normalize_rows(v.astype(jnp.float32))
+        # chunked fused normalize+cast: at 1M x 2048 a full f32 upcast (8 GB)
+        # next to the bf16 input and result peaks over single-chip HBM
+        # (measured OOM); per-chunk jitted calls keep the f32 temp small.
+        N, D = v.shape
+        chunk = 65536
+        if N > chunk:
+            parts = [
+                _normalize_bf16_chunk(v[s : s + chunk])
+                for s in range(0, N, chunk)
+            ]
+            v = jnp.concatenate(parts, axis=0)
+        else:
+            v = normalize_rows(v.astype(jnp.float32)).astype(jnp.bfloat16)
     if v.dtype != jnp.bfloat16:
         v = v.astype(jnp.bfloat16)
     nbr0, nbru, levels, entry, top = build_hnsw_graph_tpu(
         v, m=m, m0=m0, k_candidates=k_candidates, seed=seed, batch=batch,
-        alpha=alpha, mesh=mesh,
+        alpha=alpha, mesh=mesh, approximate=approximate, verbose=verbose,
     )
     coarse = np.where(levels >= 1)[0].astype(np.int32)
     return HNSWIndex(

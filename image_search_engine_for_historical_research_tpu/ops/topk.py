@@ -31,6 +31,16 @@ NEG_INF = -jnp.inf
 
 # score-matrix budget for the one-shot path (bytes of f32 scores)
 ONESHOT_SCORE_BYTES = 2 << 30
+# with ``approximate=True`` the f32 score matrix FUSES into the producing
+# matmul (TPU PartialReduce consumes dot tiles; it never lands in HBM), so
+# the one-shot path is safe — and much faster — far beyond the exact budget.
+# Measured (v5e, 1M x 2048 bf16, k=97): one-shot approx runs 39.4/92.7/295.8
+# ms at Q=512/2048/8192 (36-77 us/q, ~matmul floor) where the chunked path
+# costs 422 us/q at Q=4096 — per-chunk approx_max_k overhead dominates it.
+# Fusion validated through a 32 GB hypothetical tile (Q=8192 x 1M) and for
+# metric="l2" (the elementwise shift fuses too); beyond this validated bound
+# we fall back to chunking.
+APPROX_ONESHOT_SCORE_BYTES = 32 << 30
 # query-block rows for very large query batches (bounds the chunked-path
 # merge buffers: nchunks * QBLOCK * k * 8 bytes)
 QBLOCK = 8192
@@ -92,8 +102,9 @@ def exact_topk(
     Q, D = queries.shape
     N = db.shape[0]
     k = min(k, N)
+    budget = APPROX_ONESHOT_SCORE_BYTES if approximate else ONESHOT_SCORE_BYTES
 
-    if Q > QBLOCK and Q * N * 4 > ONESHOT_SCORE_BYTES:
+    if Q > QBLOCK and Q * N * 4 > budget:
         pad = (-Q) % QBLOCK
         qp = (
             jnp.concatenate([queries, jnp.zeros((pad, D), queries.dtype)], 0)
@@ -120,10 +131,11 @@ def _exact_topk_impl(
 ):
     Q, D = queries.shape
     N = db.shape[0]
+    budget = APPROX_ONESHOT_SCORE_BYTES if approximate else ONESHOT_SCORE_BYTES
 
     q = queries.astype(matmul_dtype) if matmul_dtype is not None else queries
 
-    if Q * N * 4 <= ONESHOT_SCORE_BYTES:
+    if Q * N * 4 <= budget:
         x = db.astype(matmul_dtype) if matmul_dtype is not None else db
         s = _scores(q, x, metric)
         return _top(s, k, approximate, recall_target)

@@ -20,7 +20,7 @@ from ..ops.topk import exact_topk
 
 @lru_cache(maxsize=None)
 def _sharded_topk_fn(mesh, axis, n_shards, shard_rows, N, k, metric, chunk,
-                     matmul_dtype):
+                     matmul_dtype, approximate, recall_target):
     """Compiled driver cache: index builds call this once per row batch —
     a per-call ``jax.jit(closure)`` would retrace every batch (~250 times at
     1M), each compile costing ~35 s through the remote-compile tunnel."""
@@ -31,7 +31,8 @@ def _sharded_topk_fn(mesh, axis, n_shards, shard_rows, N, k, metric, chunk,
         # db_shard arrives (shard_rows, D); global offset from the axis index
         s, i = exact_topk(
             q, db_shard, k_local, metric=metric, chunk=chunk,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, approximate=approximate,
+            recall_target=recall_target,
         )
         i = i + jax.lax.axis_index(axis) * shard_rows
         # gather all shards' candidates: (n_shards, Q, k_local)
@@ -64,6 +65,8 @@ def sharded_exact_topk(
     chunk: int = 131072,
     matmul_dtype=None,
     axis: str = "data",
+    approximate: bool = False,
+    recall_target: float = 0.95,
 ):
     """Top-k over a row-sharded database.
 
@@ -78,6 +81,7 @@ def sharded_exact_topk(
     if N % n_shards:
         raise ValueError(f"db rows {N} not divisible by mesh axis {n_shards}")
     fn = _sharded_topk_fn(
-        mesh, axis, n_shards, N // n_shards, N, k, metric, chunk, matmul_dtype
+        mesh, axis, n_shards, N // n_shards, N, k, metric, chunk, matmul_dtype,
+        approximate, recall_target,
     )
     return fn(queries, db)

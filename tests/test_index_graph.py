@@ -219,6 +219,23 @@ class TestTPUGraphBuild:
         r = recall_at(exact, approx, 10)
         assert r > 0.9, r
 
+    def test_approximate_candidate_pass_recall(self, data):
+        """approximate=True swaps lax.top_k for the matmul-fused
+        approx_max_k in the candidate pass; graph quality (beam recall)
+        must stay at the exact-candidate level since the pruner keeps only
+        m0 of the ~k candidates anyway."""
+        from image_search_engine_for_historical_research_tpu.index import (
+            build_hnsw_tpu,
+        )
+
+        x, q, exact = data
+        ix = build_hnsw_tpu(
+            x, m=16, k_candidates=48, batch=512, approximate=True
+        )
+        _, approx = ix.search(q, 10, ef=128)
+        r = recall_at(exact, approx, 10)
+        assert r > 0.9, r
+
     def test_graph_structure_valid(self, data):
         from image_search_engine_for_historical_research_tpu.index import (
             build_hnsw_tpu,
