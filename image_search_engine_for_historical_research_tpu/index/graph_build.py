@@ -217,21 +217,30 @@ def build_hnsw_graph_tpu(
     )
     _tick("kNN candidate pass")
 
+    # The prune stages gather (B, W, D) candidate vectors per chunk — their
+    # batch is capped by a ~1 GiB gather budget, independent of the kNN
+    # matmul batch (batch=8192 at W=128, D=2048 would gather 4-8 GB next to
+    # the resident gallery: measured OOM at 1M).
+    def _prune_batch(W):
+        budget = 1 << 30
+        return max(256, min(batch, budget // (W * D * vectors.dtype.itemsize)))
+
     # device pruning to m0 forward edges per node (chunked)
     pruned = np.empty((N, m0), np.int32)
     pruned_sc = np.empty((N, m0), np.float32)
     fwd_kept = np.empty((N,), np.int32)
-    for s in range(0, N, batch):
+    pb = _prune_batch(cand_ids.shape[1])
+    for s in range(0, N, pb):
         p_c, s_c, k_c = _prune_chunk(
             vectors,
-            jnp.asarray(cand_ids[s : s + batch]),
-            jnp.asarray(cand_scores[s : s + batch]),
+            jnp.asarray(cand_ids[s : s + pb]),
+            jnp.asarray(cand_scores[s : s + pb]),
             m0,
             alpha,
         )
-        pruned[s : s + batch] = np.asarray(p_c)
-        pruned_sc[s : s + batch] = np.asarray(s_c)
-        fwd_kept[s : s + batch] = np.asarray(k_c)
+        pruned[s : s + pb] = np.asarray(p_c)
+        pruned_sc[s : s + pb] = np.asarray(s_c)
+        fwd_kept[s : s + pb] = np.asarray(k_c)
     _tick("forward prune")
 
     # reverse-edge union: re-run the heuristic over candidates + backlinks
@@ -239,8 +248,9 @@ def build_hnsw_graph_tpu(
     bl_ids, bl_sc = _gather_backlinks(pruned, pruned_sc, fwd_kept, m0)
     _tick("backlink gather")
     nbr0 = np.empty((N, m0), np.int32)
-    for s in range(0, N, batch):
-        e = min(s + batch, N)
+    pb = _prune_batch(cand_ids.shape[1] + bl_ids.shape[1])
+    for s in range(0, N, pb):
+        e = min(s + pb, N)
         u_ids = np.concatenate([cand_ids[s:e], bl_ids[s:e]], axis=1)
         u_sc = np.concatenate([cand_scores[s:e], bl_sc[s:e]], axis=1)
         _dedup_rows(u_ids, u_sc)
@@ -302,28 +312,50 @@ def _gather_backlinks(pruned, pruned_sc, fwd_kept, m0):
     a node that appears in nobody's candidate top-k has zero in-degree and
     is unreachable by greedy search (the bug this pass exists to prevent:
     the pruner's keepPrunedConnections backfill fills all m0 slots, so a
-    slots-only union never fires). Fully numpy-vectorized: a python edge
-    loop is ~32M iterations at 1M x 32.
+    slots-only union never fires). Runs ON DEVICE as one jitted
+    sort+scatter program: the numpy version (lexsort + fancy indexing over
+    32M edges at 1M x 32) measured 106-165 s on the host vCPU vs ~1 s of
+    XLA sort; semantics identical (stable lexicographic (dst, -score)
+    order), asserted by tests.
     """
-    N = pruned.shape[0]
-    src = np.repeat(np.arange(N, dtype=np.int64), m0)
-    dst = pruned.reshape(-1).astype(np.int64)
-    rank = np.tile(np.arange(m0, dtype=np.int64), N)
-    sc = pruned_sc.reshape(-1)
-    ok = (dst >= 0) & (src != dst) & (rank < fwd_kept.astype(np.int64)[src])
-    src, dst, sc = src[ok], dst[ok], sc[ok]
+    ids, sc = _gather_backlinks_dev(
+        jnp.asarray(pruned), jnp.asarray(pruned_sc), jnp.asarray(fwd_kept)
+    )
+    return np.asarray(ids), np.asarray(sc)
 
-    # group by dst, nearest (highest score) first
-    order = np.lexsort((-sc, dst))
-    dst_s, src_s, sc_s = dst[order], src[order], sc[order]
-    group_start = np.searchsorted(dst_s, np.arange(N))
-    pos_in_group = np.arange(len(dst_s)) - group_start[dst_s]
-    keep = pos_in_group < m0
 
-    bl_ids = np.full((N, m0), -1, np.int32)
-    bl_sc = np.full((N, m0), -np.inf, np.float32)
-    bl_ids[dst_s[keep], pos_in_group[keep]] = src_s[keep].astype(np.int32)
-    bl_sc[dst_s[keep], pos_in_group[keep]] = sc_s[keep]
+@jax.jit
+def _gather_backlinks_dev(pruned, pruned_sc, fwd_kept):
+    N, m0 = pruned.shape
+    rank_ok = jnp.arange(m0, dtype=jnp.int32)[None, :] < fwd_kept[:, None]
+    node = jnp.arange(N, dtype=jnp.int32)
+    ok = (pruned >= 0) & (pruned != node[:, None]) & rank_ok
+
+    src = jnp.broadcast_to(node[:, None], (N, m0)).reshape(-1)
+    dst = jnp.where(ok, pruned, N).reshape(-1)  # invalid edges sort last
+    negsc = jnp.where(ok, -pruned_sc, jnp.inf).reshape(-1)
+
+    # stable lexicographic sort: by dst, then by descending score
+    dst_s, negsc_s, src_s = jax.lax.sort(
+        (dst, negsc, src), num_keys=2, is_stable=True
+    )
+    # position of each edge within its dst group
+    starts = jnp.searchsorted(dst_s, node)  # (N,) first edge of each group
+    pos = jnp.arange(N * m0, dtype=jnp.int32) - starts[
+        jnp.clip(dst_s, 0, N - 1)
+    ].astype(jnp.int32)
+    keep = (dst_s < N) & (pos < m0)
+
+    row = jnp.where(keep, dst_s, N)  # out-of-bounds rows drop
+    col = jnp.where(keep, pos, 0)
+    bl_ids = (
+        jnp.full((N, m0), -1, jnp.int32)
+        .at[row, col].set(src_s, mode="drop")
+    )
+    bl_sc = (
+        jnp.full((N, m0), -jnp.inf, jnp.float32)
+        .at[row, col].set(-negsc_s, mode="drop")
+    )
     return bl_ids, bl_sc
 
 

@@ -30,7 +30,7 @@ Semantics kept (verified against the vendored torch implementation by
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import numpy as np
@@ -505,7 +505,16 @@ class AdalamFilter:
         ``counter(k1 (B,K,2), k2, d1 (B,K,128), d2, o1 (B,K), o2, s1, s2,
         valid1 (B,K), valid2, R1 (B,), R2 (B,)) -> counts (B,)``.
         Matching semantics are identical to ``match_and_filter``.
+
+        Cached per config: jax.jit caches by function identity, so returning
+        a fresh closure here made every ``adalam_count_pairs`` call retrace
+        and recompile (~35 s per compile through the remote-compile tunnel —
+        the round-3 "1.19 s/pair production path" was compile time, not
+        steady state).
         """
+        return _batched_counter_for(tuple(sorted(self.config.items())))
+
+    def _build_batched_counter(self):
         import jax
         import jax.numpy as jnp
 
@@ -567,20 +576,11 @@ class AdalamFilter:
         per-call stacked upload of ``make_batched_counter`` dominated wall
         time through the slow-transfer tunnel (measured ~1.2 s/pair of which
         the device compute is ~14 ms) — and a query's features repeat across
-        all of its b candidate pairs.
+        all of its b candidate pairs. Cached per config (see
+        ``make_batched_counter``): a fresh jitted closure per call would
+        recompile on every re-rank invocation.
         """
-        import jax
-
-        pairwise = self.make_batched_counter()
-
-        @jax.jit
-        def fn(xy, desc, odeg, sc, valid, R, iq, ic):
-            return pairwise(
-                xy[iq], xy[ic], desc[iq], desc[ic], odeg[iq], odeg[ic],
-                sc[iq], sc[ic], valid[iq], valid[ic], R[iq], R[ic],
-            )
-
-        return fn
+        return _banked_counter_for(tuple(sorted(self.config.items())))
 
     def radius(self, imshape: Tuple[int, int]) -> float:
         """AdaLAM neighborhood radius for an image shape (adalam.py R1/R2)."""
@@ -629,3 +629,28 @@ class AdalamFilter:
             k1, k2, fnn12, scores, mnn, im1shape, im2shape,
             o1, o2, s1, s2, valid1=valid1,
         )
+
+
+@lru_cache(maxsize=None)
+def _batched_counter_for(config_items):
+    """One jitted batched counter per config. jax.jit caches by function
+    identity — building the closure inside ``make_batched_counter`` made
+    every re-rank call retrace and pay a full remote compile (~35 s through
+    the tunnel), which dominated the measured "production path" cost."""
+    return AdalamFilter(dict(config_items))._build_batched_counter()
+
+
+@lru_cache(maxsize=None)
+def _banked_counter_for(config_items):
+    import jax
+
+    pairwise = _batched_counter_for(config_items)
+
+    @jax.jit
+    def fn(xy, desc, odeg, sc, valid, R, iq, ic):
+        return pairwise(
+            xy[iq], xy[ic], desc[iq], desc[ic], odeg[iq], odeg[ic],
+            sc[iq], sc[ic], valid[iq], valid[ic], R[iq], R[ic],
+        )
+
+    return fn

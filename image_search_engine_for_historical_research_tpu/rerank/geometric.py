@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -235,16 +235,23 @@ def _match_and_verify_impl(
     return jnp.where(best >= min_confidence, best, 0).astype(jnp.int32), n_matches
 
 
-def make_verifier(ratio: float = 0.9, inlier_px: float = 15.0, min_confidence: int = 6):
-    """Jitted pair verifier: (LocalFeatures, LocalFeatures) -> inlier count."""
+@lru_cache(maxsize=None)
+def _verifier_core(ratio: float, inlier_px: float, min_confidence: int):
+    """Cached per parameter set: jax.jit keys on function identity, so a
+    fresh closure per make_verifier() call would recompile every time."""
     import jax
 
-    core = jax.jit(
+    return jax.jit(
         partial(
             _match_and_verify_impl,
             ratio=ratio, inlier_px=inlier_px, min_confidence=min_confidence,
         )
     )
+
+
+def make_verifier(ratio: float = 0.9, inlier_px: float = 15.0, min_confidence: int = 6):
+    """Jitted pair verifier: (LocalFeatures, LocalFeatures) -> inlier count."""
+    core = _verifier_core(ratio, inlier_px, min_confidence)
 
     def verify(f1: LocalFeatures, f2: LocalFeatures) -> int:
         import jax.numpy as jnp
