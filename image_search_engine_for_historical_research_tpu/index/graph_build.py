@@ -43,8 +43,7 @@ def _normalize_bf16_chunk(x):
     return (x32 / jnp.clip(n, min=1e-30)).astype(jnp.bfloat16)
 
 
-@partial(jax.jit, static_argnames=("m", "alpha"))
-def _prune_chunk(vectors, nbr_ids, nbr_scores, m: int, alpha: float = 1.2):
+def _prune_core(vectors, nbr_ids, nbr_scores, m: int, alpha: float = 1.2):
     """Heuristic-prune each node's candidate list on device.
 
     ``nbr_ids (B, K)`` candidates sorted by ascending distance to the node
@@ -102,6 +101,64 @@ def _prune_chunk(vectors, nbr_ids, nbr_scores, m: int, alpha: float = 1.2):
     return jax.vmap(prune_one)(d_nc, d_cc, nbr_ids, nbr_scores)
 
 
+_prune_chunk = partial(jax.jit, static_argnames=("m", "alpha"))(_prune_core)
+
+
+def _dedup_rows_dev(ids, sc):
+    """Device version of ``_dedup_rows``: mark duplicate ids within each row
+    invalid (id -1, score -inf), keeping the earliest column among equals
+    (stable-sort semantics identical to the numpy pass, asserted in tests)."""
+    B, W = ids.shape
+    order = jnp.argsort(ids, axis=1, stable=True)
+    sorted_ids = jnp.take_along_axis(ids, order, 1)
+    dup_sorted = jnp.concatenate(
+        [
+            jnp.zeros((B, 1), bool),
+            (sorted_ids[:, 1:] == sorted_ids[:, :-1]) & (sorted_ids[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    dup = (
+        jnp.zeros((B, W), bool)
+        .at[jnp.arange(B)[:, None], order]
+        .set(dup_sorted)
+    )
+    return jnp.where(dup, -1, ids), jnp.where(dup, -jnp.inf, sc)
+
+
+@partial(jax.jit, static_argnames=("m", "alpha"))
+def _union_reprune_chunk(vectors, c_ids, c_sc, b_ids, b_sc, m: int, alpha: float):
+    """Reverse-edge union + re-prune for one node chunk, entirely on device:
+    concat candidates with backlinks, dedup, stable sort by descending score,
+    heuristic-prune to m. Replaces the round-2 host concat/dedup/argsort loop
+    whose per-chunk uploads dominated the pass through the tunnel."""
+    u_ids = jnp.concatenate([c_ids, b_ids], axis=1)
+    u_sc = jnp.concatenate(
+        [c_sc.astype(jnp.float32), b_sc.astype(jnp.float32)], axis=1
+    )
+    u_ids, u_sc = _dedup_rows_dev(u_ids, u_sc)
+    order = jnp.argsort(-u_sc, axis=1, stable=True)
+    u_ids = jnp.take_along_axis(u_ids, order, 1)
+    u_sc = jnp.take_along_axis(u_sc, order, 1)
+    return _prune_core(vectors, u_ids, u_sc, m, alpha)[0]
+
+
+@jax.jit
+def _drop_self_chunk(sc, ix, row0):
+    """Device-side self-hit removal for one kNN batch (the old host drain):
+    each row drops its own id from the top list (wherever it appears), rows
+    without a self hit drop their last column instead."""
+    B, Ke = ix.shape
+    rows = row0 + jnp.arange(B, dtype=ix.dtype)[:, None]
+    self_mask = ix == rows
+    first_self = jnp.argmax(self_mask, axis=1).astype(jnp.int32)
+    has_self = jnp.take_along_axis(self_mask, first_self[:, None], 1)[:, 0]
+    drop = jnp.where(has_self, first_self, Ke - 1)
+    j = jnp.arange(Ke - 1, dtype=jnp.int32)[None, :]
+    gidx = j + (j >= drop[:, None]).astype(jnp.int32)
+    return jnp.take_along_axis(sc, gidx, 1), jnp.take_along_axis(ix, gidx, 1)
+
+
 def build_knn_graph(
     vectors: jnp.ndarray,
     k: int = 64,
@@ -112,6 +169,9 @@ def build_knn_graph(
     recall_target: float = 0.99,
 ):
     """Exact kNN graph (ids + ip scores), self excluded, via batched scans.
+    Returns DEVICE arrays ``(ids (N, k), scores (N, k))`` — the whole graph
+    build pipeline is device-resident (round 3: the round-2 host drain +
+    re-upload cost more than the compute through the ~66 MB/s tunnel).
 
     ``mesh``: shard the database rows over the mesh and run each batch's scan
     as per-shard top-k + all-gather merge (``parallel.sharded_exact_topk``) —
@@ -134,30 +194,7 @@ def build_knn_graph(
         from ..parallel import shard_batch, sharded_exact_topk
 
         db = shard_batch(vectors, mesh)
-    ids = np.empty((N, k_eff - 1), np.int32)
-    scores = np.empty((N, k_eff - 1), np.float32)
-
-    def _drain(item):
-        s, B, sc_dev, ix_dev = item
-        sc, ix = np.asarray(sc_dev), np.asarray(ix_dev)
-        # drop the self column (wherever it appears in the top list)
-        rows = np.arange(s, s + B)[:, None]
-        self_mask = ix == rows
-        # stable removal of one self hit per row
-        keep = np.ones_like(ix, bool)
-        first_self = np.argmax(self_mask, axis=1)
-        has_self = self_mask[np.arange(B), first_self]
-        keep[np.arange(B)[has_self], first_self[has_self]] = False
-        # rows without a self hit drop their last column instead
-        keep[~has_self, -1] = False
-        ids[s : s + B] = ix[keep].reshape(B, k_eff - 1)
-        scores[s : s + B] = sc[keep].reshape(B, k_eff - 1)
-
-    # double-buffered dispatch: JAX calls are async, so issuing batch i+1
-    # before fetching batch i overlaps the device scan with the (slow through
-    # the tunnel: ~66 MB/s measured) device->host result transfer. Pending
-    # results are O(batch x k) — a few MB on device.
-    pending = []
+    id_chunks, sc_chunks = [], []
     for s in range(0, N, batch):
         q = vectors[s : s + batch]
         if mesh is not None:
@@ -165,17 +202,21 @@ def build_knn_graph(
                 q, db, k_eff, mesh, matmul_dtype=matmul_dtype,
                 approximate=approximate, recall_target=recall_target,
             )
+            # commit the replicated mesh output to the default device so the
+            # downstream single-device chunked passes see ordinary arrays
+            sc = jax.device_put(np.asarray(sc))
+            ix = jax.device_put(np.asarray(ix))
         else:
             sc, ix = exact_topk(
                 q, db, k_eff, matmul_dtype=matmul_dtype,
                 approximate=approximate, recall_target=recall_target,
             )
-        pending.append((s, q.shape[0], sc, ix))
-        if len(pending) >= 3:
-            _drain(pending.pop(0))
-    for item in pending:
-        _drain(item)
-    return ids, scores
+        sc, ix = _drop_self_chunk(sc, ix, jnp.int32(s))
+        sc_chunks.append(sc)
+        id_chunks.append(ix)
+    if len(id_chunks) == 1:
+        return id_chunks[0], sc_chunks[0]
+    return jnp.concatenate(id_chunks, 0), jnp.concatenate(sc_chunks, 0)
 
 
 def build_hnsw_graph_tpu(
@@ -215,6 +256,8 @@ def build_hnsw_graph_tpu(
     cand_ids, cand_scores = build_knn_graph(
         vectors, k_candidates, batch, mesh=mesh, approximate=approximate
     )
+    if verbose:
+        jax.block_until_ready(cand_ids)
     _tick("kNN candidate pass")
 
     # The prune stages gather (B, W, D) candidate vectors per chunk — their
@@ -225,42 +268,47 @@ def build_hnsw_graph_tpu(
         budget = 1 << 30
         return max(256, min(batch, budget // (W * D * vectors.dtype.itemsize)))
 
-    # device pruning to m0 forward edges per node (chunked)
-    pruned = np.empty((N, m0), np.int32)
-    pruned_sc = np.empty((N, m0), np.float32)
-    fwd_kept = np.empty((N,), np.int32)
+    # device pruning to m0 forward edges per node (chunked; all intermediates
+    # stay device-resident — round 2 drained every chunk to host and
+    # re-uploaded it, which dominated the pass through the tunnel)
+    p_chunks, s_chunks, k_chunks = [], [], []
     pb = _prune_batch(cand_ids.shape[1])
     for s in range(0, N, pb):
         p_c, s_c, k_c = _prune_chunk(
-            vectors,
-            jnp.asarray(cand_ids[s : s + pb]),
-            jnp.asarray(cand_scores[s : s + pb]),
-            m0,
-            alpha,
+            vectors, cand_ids[s : s + pb], cand_scores[s : s + pb], m0, alpha
         )
-        pruned[s : s + pb] = np.asarray(p_c)
-        pruned_sc[s : s + pb] = np.asarray(s_c)
-        fwd_kept[s : s + pb] = np.asarray(k_c)
+        p_chunks.append(p_c)
+        s_chunks.append(s_c)
+        k_chunks.append(k_c)
+    pruned = jnp.concatenate(p_chunks, 0) if len(p_chunks) > 1 else p_chunks[0]
+    pruned_sc = jnp.concatenate(s_chunks, 0) if len(s_chunks) > 1 else s_chunks[0]
+    fwd_kept = jnp.concatenate(k_chunks, 0) if len(k_chunks) > 1 else k_chunks[0]
+    if verbose:
+        jax.block_until_ready(pruned)
     _tick("forward prune")
 
     # reverse-edge union: re-run the heuristic over candidates + backlinks
     # (the hnswlib shrink semantics), chunked on device
-    bl_ids, bl_sc = _gather_backlinks(pruned, pruned_sc, fwd_kept, m0)
+    bl_ids, bl_sc = _gather_backlinks_dev(pruned, pruned_sc, fwd_kept)
+    if verbose:
+        jax.block_until_ready(bl_ids)
     _tick("backlink gather")
-    nbr0 = np.empty((N, m0), np.int32)
+    n0_chunks = []
     pb = _prune_batch(cand_ids.shape[1] + bl_ids.shape[1])
     for s in range(0, N, pb):
-        e = min(s + pb, N)
-        u_ids = np.concatenate([cand_ids[s:e], bl_ids[s:e]], axis=1)
-        u_sc = np.concatenate([cand_scores[s:e], bl_sc[s:e]], axis=1)
-        _dedup_rows(u_ids, u_sc)
-        order = np.argsort(-u_sc, axis=1, kind="stable")
-        u_ids = np.take_along_axis(u_ids, order, 1)
-        u_sc = np.take_along_axis(u_sc, order, 1)
-        p_c, _, _ = _prune_chunk(
-            vectors, jnp.asarray(u_ids), jnp.asarray(u_sc), m0, alpha
+        n0_chunks.append(
+            _union_reprune_chunk(
+                vectors,
+                cand_ids[s : s + pb],
+                cand_scores[s : s + pb],
+                bl_ids[s : s + pb],
+                bl_sc[s : s + pb],
+                m0,
+                alpha,
+            )
         )
-        nbr0[s:e] = np.asarray(p_c)
+    nbr0_dev = jnp.concatenate(n0_chunks, 0) if len(n0_chunks) > 1 else n0_chunks[0]
+    nbr0 = np.asarray(nbr0_dev)  # ONE download: (N, m0) int32
     _tick("reverse-union re-prune")
 
     # geometric levels + upper-level lists from candidates within the level set
@@ -280,17 +328,11 @@ def build_hnsw_graph_tpu(
         # and the greedy descent non-navigable (measured: whole-cluster misses)
         mv = vectors[jnp.asarray(members)]
         k_lvl = min(m + 1, len(members))
-        _, sub_ids = exact_topk(mv, mv, k_lvl, matmul_dtype=jnp.bfloat16)
-        sub_ids = np.asarray(sub_ids)
-        # drop self (first hit of own index) then map back to global ids
+        sc_l, sub_ids = exact_topk(mv, mv, k_lvl, matmul_dtype=jnp.bfloat16)
+        # drop self (local ids within the member set) then map to global ids
         B = len(members)
-        self_mask = sub_ids == np.arange(B)[:, None]
-        keep = np.ones_like(sub_ids, bool)
-        first_self = np.argmax(self_mask, axis=1)
-        has_self = self_mask[np.arange(B), first_self]
-        keep[np.arange(B)[has_self], first_self[has_self]] = False
-        keep[~has_self, -1] = False
-        local = sub_ids[keep].reshape(B, k_lvl - 1)[:, :m]
+        _, local_dev = _drop_self_chunk(sc_l, sub_ids, jnp.int32(0))
+        local = np.asarray(local_dev)[:, :m]
         glob = members[local]
         out = np.full((B, m), -1, np.int32)
         out[:, : glob.shape[1]] = glob
@@ -302,7 +344,8 @@ def build_hnsw_graph_tpu(
     return nbr0, nbru, levels.astype(np.int32), entry, top_level
 
 
-def _gather_backlinks(pruned, pruned_sc, fwd_kept, m0):
+@jax.jit
+def _gather_backlinks_dev(pruned, pruned_sc, fwd_kept):
     """Per-node reverse-edge lists (ids, ip scores), -1/-inf padded (N, m0).
 
     A reverse edge ``dst <- src`` exists for every HEURISTIC survivor edge
@@ -318,14 +361,6 @@ def _gather_backlinks(pruned, pruned_sc, fwd_kept, m0):
     XLA sort; semantics identical (stable lexicographic (dst, -score)
     order), asserted by tests.
     """
-    ids, sc = _gather_backlinks_dev(
-        jnp.asarray(pruned), jnp.asarray(pruned_sc), jnp.asarray(fwd_kept)
-    )
-    return np.asarray(ids), np.asarray(sc)
-
-
-@jax.jit
-def _gather_backlinks_dev(pruned, pruned_sc, fwd_kept):
     N, m0 = pruned.shape
     rank_ok = jnp.arange(m0, dtype=jnp.int32)[None, :] < fwd_kept[:, None]
     node = jnp.arange(N, dtype=jnp.int32)

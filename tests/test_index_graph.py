@@ -280,6 +280,56 @@ class TestTPUGraphBuild:
         _, idx = ix.search(x[:1], 1, ef=32)
         assert int(np.asarray(idx)[0, 0]) == 0
 
+    def test_device_dedup_matches_numpy(self):
+        """The device-resident union pass dedups rows on device; semantics
+        must equal the numpy `_dedup_rows` (keep earliest column among
+        duplicate ids, invalidate the rest)."""
+        import jax.numpy as jnp
+
+        from image_search_engine_for_historical_research_tpu.index.graph_build import (
+            _dedup_rows,
+            _dedup_rows_dev,
+        )
+
+        rng = np.random.default_rng(7)
+        ids = rng.integers(-1, 12, size=(50, 24)).astype(np.int32)
+        sc = rng.standard_normal((50, 24)).astype(np.float32)
+        ids_np, sc_np = ids.copy(), sc.copy()
+        _dedup_rows(ids_np, sc_np)
+        ids_d, sc_d = _dedup_rows_dev(jnp.asarray(ids), jnp.asarray(sc))
+        np.testing.assert_array_equal(np.asarray(ids_d), ids_np)
+        np.testing.assert_array_equal(np.asarray(sc_d), sc_np)
+
+    def test_device_self_drop(self):
+        """_drop_self_chunk removes the self hit wherever it appears and
+        drops the last column when no self hit exists (the old host drain's
+        semantics)."""
+        import jax.numpy as jnp
+
+        from image_search_engine_for_historical_research_tpu.index.graph_build import (
+            _drop_self_chunk,
+        )
+
+        ix = np.array(
+            [[5, 3, 9, 1],    # self id 5 at column 0 (row0 + 0 = 5)
+             [2, 6, 4, 8],    # self id 6 at column 1
+             [1, 2, 3, 7],    # self id 7 at column 3
+             [9, 4, 2, 0]],   # self id 8 absent -> drop last column
+            np.int32,
+        )
+        sc = np.arange(16, dtype=np.float32).reshape(4, 4)
+        sc_o, ix_o = _drop_self_chunk(
+            jnp.asarray(sc), jnp.asarray(ix), jnp.int32(5)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ix_o),
+            [[3, 9, 1], [2, 4, 8], [1, 2, 3], [9, 4, 2]],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sc_o),
+            [[1, 2, 3], [4, 6, 7], [8, 9, 10], [12, 13, 14]],
+        )
+
     def test_small_gallery_m_exceeds_candidates(self):
         """N small enough that k_candidates < m0 used to crash the pruner
         with a broadcast error; it must build and search."""
