@@ -328,11 +328,20 @@ def build_hnsw_graph_tpu(
         # and the greedy descent non-navigable (measured: whole-cluster misses)
         mv = vectors[jnp.asarray(members)]
         k_lvl = min(m + 1, len(members))
-        sc_l, sub_ids = exact_topk(mv, mv, k_lvl, matmul_dtype=jnp.bfloat16)
-        # drop self (local ids within the member set) then map to global ids
+        _, sub_ids = exact_topk(mv, mv, k_lvl, matmul_dtype=jnp.bfloat16)
+        # drop self on HOST: level shapes differ every level, so the jitted
+        # _drop_self_chunk would recompile per level (~35 s each through the
+        # remote-compile tunnel — measured 166 s for this loop vs 22 s host);
+        # the arrays here are tiny (~N/m rows)
+        sub_ids = np.asarray(sub_ids)
         B = len(members)
-        _, local_dev = _drop_self_chunk(sc_l, sub_ids, jnp.int32(0))
-        local = np.asarray(local_dev)[:, :m]
+        self_mask = sub_ids == np.arange(B)[:, None]
+        keep = np.ones_like(sub_ids, bool)
+        first_self = np.argmax(self_mask, axis=1)
+        has_self = self_mask[np.arange(B), first_self]
+        keep[np.arange(B)[has_self], first_self[has_self]] = False
+        keep[~has_self, -1] = False
+        local = sub_ids[keep].reshape(B, k_lvl - 1)[:, :m]
         glob = members[local]
         out = np.full((B, m), -1, np.int32)
         out[:, : glob.shape[1]] = glob
@@ -340,6 +349,44 @@ def build_hnsw_graph_tpu(
 
     top_level = int(levels.max())
     entry = int(np.argmax(levels))
+
+    # Splice the hierarchy edges into the beam table. The one-shot kNN build
+    # has no insert-order long-range links, so a tight cluster smaller than
+    # k_candidates can be a *disconnected component* at level 0 (measured:
+    # 40 clusters x 50 points, 8/20 queries terminated with only their own
+    # cluster found — recall@100 capped at 0.68 regardless of ef). hnswlib
+    # escapes this because early inserts link across the whole dataset
+    # (nnsearch.py insert loop); here the upper-level kNN graphs play that
+    # role — they are built over level-sampled member sets that span
+    # clusters, so their edges are exactly the missing "highways". hnswlib
+    # walks those levels with separate per-level tables during descent; our
+    # beam consumes ONE flat (N, m0) table, so on each hub node (level >= 1,
+    # ~N/m of all nodes) up to m0/2 of the *tail* slots — the farthest
+    # keepPrunedConnections backfill — are replaced by that node's hierarchy
+    # edges. Width stays m0, so the pallas kernel's per-expansion DMA cost
+    # is unchanged. Rows are deduped (an id twice in one row would enter the
+    # beam twice: the visited check precedes the row's own writes).
+    hier = np.concatenate([nbru[l] for l in range(max_levels - 1)], 1)
+    comb = np.concatenate([nbr0, hier], 1)  # locals first: dedup keeps them
+    _dedup_np_rows(comb)
+    W = comb.shape[1]
+    cols = np.arange(W)[None, :]
+    valid = comb >= 0
+    vl = valid & (cols < m0)
+    vh = valid & (cols >= m0)
+    n_h = vh.sum(1)
+    n_keep_local = m0 - np.minimum(n_h, m0 // 2)          # (N,)
+    keep_l = vl & ((np.cumsum(vl, 1) - 1) < n_keep_local[:, None])
+    kept_l = keep_l.sum(1)
+    keep_h = vh & ((np.cumsum(vh, 1) - 1) < (m0 - kept_l)[:, None])
+    keep = keep_l | keep_h
+    key = np.where(keep, cols, W)
+    comp = np.take_along_axis(
+        comb, np.argsort(key, axis=1, kind="stable"), 1
+    )[:, :m0]
+    nbr0 = np.ascontiguousarray(
+        np.where(np.arange(m0)[None, :] < keep.sum(1)[:, None], comp, -1)
+    )
     _tick("levels")
     return nbr0, nbru, levels.astype(np.int32), entry, top_level
 
@@ -392,6 +439,21 @@ def _gather_backlinks_dev(pruned, pruned_sc, fwd_kept):
         .at[row, col].set(-negsc_s, mode="drop")
     )
     return bl_ids, bl_sc
+
+
+def _dedup_np_rows(ids):
+    """In-place ids-only row dedup: later duplicates of an id become -1,
+    keeping the earliest column (vectorized via stable row-wise sort)."""
+    B, W = ids.shape
+    order = np.argsort(ids, axis=1, kind="stable")
+    sorted_ids = np.take_along_axis(ids, order, 1)
+    dup_sorted = np.zeros((B, W), bool)
+    dup_sorted[:, 1:] = (sorted_ids[:, 1:] == sorted_ids[:, :-1]) & (
+        sorted_ids[:, 1:] >= 0
+    )
+    dup = np.zeros((B, W), bool)
+    np.put_along_axis(dup, order, dup_sorted, 1)
+    ids[dup] = -1
 
 
 def _dedup_rows(ids, sc):
