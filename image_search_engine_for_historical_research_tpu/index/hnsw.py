@@ -222,6 +222,40 @@ def _rerank_members(vectors, q, cand_idx, valid, k: int):
     return top_s, top_i
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _rerank_refine(
+    codewords, unique_codes, refine_codewords, refine_codes,
+    q, cand_u, cand_idx, valid, k: int,
+):
+    """Codes-only re-rank: reconstruct each candidate as
+    ``decode(coarse) + decode(residual)`` and order by exact distance to q.
+
+    Two-level source-coding re-rank (Jegou et al., "Searching in one billion
+    vectors: re-rank with source coding", ICASSP'11) — the TPU answer to the
+    reference's raw-vector re-sort, for the regime where raw vectors exceed
+    HBM (the reference keeps everything in RAM; nnsearch.py:669-680 re-sorts
+    by ADC alone). All arrays are jit *arguments* (CLAUDE.md tunnel rule).
+    The (Q*E, D) reconstruction is the working set: E = expand*k slots per
+    query, ~230 MB at Q=70/E=400/D=2048 — small next to a full scan.
+    """
+    Q, E = cand_idx.shape
+    cc = jnp.take(unique_codes.astype(jnp.int32), cand_u.reshape(-1), axis=0)
+    rc = jnp.take(refine_codes.astype(jnp.int32), cand_idx.reshape(-1), axis=0)
+    recon = pq_decode(PQCodebook(codewords), cc) + pq_decode(
+        PQCodebook(refine_codewords), rc
+    )                                                     # (Q*E, D) f32
+    recon = recon.reshape(Q, E, -1)
+    qf = q.astype(jnp.float32)
+    # -||q - recon||^2 up to the per-query constant ||q||^2: larger = better
+    s = 2.0 * jnp.einsum("qd,qed->qe", qf, recon) - jnp.sum(
+        recon * recon, axis=-1
+    )
+    s = jnp.where(valid, s, -jnp.inf)
+    top_s, top_j = jax.lax.top_k(s, k)
+    top_i = jnp.take_along_axis(cand_idx, top_j, axis=1)
+    return top_s, top_i
+
+
 @register("hnsw_pq")
 @dataclass
 class HNSWPQIndex:
@@ -234,6 +268,13 @@ class HNSWPQIndex:
     group_members: np.ndarray  # (N,) image ids grouped by unique code
     ef_default: int = 100
     coarse_ids: Optional[jnp.ndarray] = None  # upper-level members (ADC seeds)
+    # two-level refinement codes (IVFADC+R style, Jegou et al. 2011): a second
+    # PQ over the residual x - decode(coarse_code), indexed by IMAGE id (group
+    # members share a coarse code but differ in residual). ~refine_M bytes per
+    # vector; enables the codes-only high-recall re-rank (`*+refine` methods)
+    # the beyond-HBM regime needs (VERDICT r3 #1).
+    refine_codewords: Optional[jnp.ndarray] = None  # (Mr, Ksr, dsr)
+    refine_codes: Optional[jnp.ndarray] = None      # (N, Mr) uint8
 
     @property
     def n(self) -> int:
@@ -241,7 +282,7 @@ class HNSWPQIndex:
 
     def search(
         self, queries, k: int, ef: Optional[int] = None, method: str = "auto",
-        vectors=None, expand: int = 4,
+        vectors=None, expand: int = 4, n_seeds: int = 8,
     ) -> Tuple:
         """Returns (scores, idx) over *image ids*, expanding unique-code hits
         in rank order until k members are collected (nnsearch.py:669-680).
@@ -258,26 +299,40 @@ class HNSWPQIndex:
           gallery the serving/flat index already holds; the codes alone
           cannot order members that share a code). Lifts shortlist recall
           to the candidate-set ceiling for one small gather+matmul.
+        - ``"adc+refine"``: same expansion, but the re-rank reconstructs each
+          candidate from its coarse + residual codes (two-level PQ; build
+          with ``refine_M > 0``) — **codes only**, no raw vectors, ~32 bytes
+          per image instead of 8 KB: the high-recall route for the beyond-HBM
+          regime (0.957@100 at the 1M driver point, BASELINE.md).
         - ``"graph"``: beam search over the code graph — the reference's
           traversal semantics (nnsearch.py:585-683), and the only mode whose
           per-query HBM traffic is o(U): it earns its keep past single-chip
           HBM (>= 10M codes) or for strict reference-parity studies.
-        - ``"auto"`` (default): ``"adc"`` — the measured winner everywhere a
-          single chip can hold the codes (``"adc+rerank"`` needs the raw
-          vectors, which PQ exists to avoid storing).
+        - ``"graph+refine"``: the beam walk (ef-wide shortlist, ``n_seeds``
+          coarse-ADC entry points) + the refine re-rank — beyond-HBM traffic
+          *and* re-ranked recall.
+        - ``"auto"`` (default): ``"adc+refine"`` when refine codes exist,
+          else ``"adc"`` — the measured winners everywhere a single chip can
+          hold the codes (``"adc+rerank"`` needs the raw vectors, which PQ
+          exists to avoid storing).
         """
         q = normalize_rows(jnp.asarray(queries))
         U = self.unique_codes.shape[0]
         if method == "auto":
-            method = "adc"
+            method = "adc+refine" if self.refine_codes is not None else "adc"
         rerank = method == "adc+rerank"
+        refine = method in ("adc+refine", "graph+refine")
         if rerank and vectors is None:
             raise ValueError("method='adc+rerank' requires the raw `vectors`")
-        n_slots = min(expand * k, self.n) if rerank else k
-        k_unique = min(max(n_slots, 1), U)
-        if method in ("adc", "adc+rerank"):
+        if refine and self.refine_codes is None:
+            raise ValueError(
+                f"method={method!r} requires refine codes (build with refine_M > 0)"
+            )
+        n_slots = min(expand * k, self.n) if (rerank or refine) else k
+        if method in ("adc", "adc+rerank", "adc+refine"):
             from ..ops.pq import pq_search
 
+            k_unique = min(max(n_slots, 1), U)
             scores_u, idx_u = pq_search(
                 PQCodebook(self.codewords),
                 self.unique_codes.astype(jnp.int32),
@@ -285,18 +340,30 @@ class HNSWPQIndex:
                 k_unique,
             )
         else:
+            # the walk's shortlist is its beam: ef unique codes, later
+            # expanded to n_slots member slots (members per code ~ N/U)
+            ef_eff = ef or max(self.ef_default, k)
+            k_unique = min(max(ef_eff, k), U) if refine else min(k, U)
             scores_u, idx_u = hnsw_search_batch_pq(
                 self.unique_codes, self.codewords, self.nbr0, self.nbru,
-                self.entry, q, k_unique, ef or max(self.ef_default, k_unique),
-                coarse_ids=self.coarse_ids,
+                self.entry, q, k_unique, max(ef_eff, k_unique),
+                coarse_ids=self.coarse_ids, n_seeds=n_seeds,
             )
-        out_scores, out_idx, valid, total = self._expand_members(
+        out_scores, out_idx, out_u, valid, total = self._expand_members(
             np.asarray(idx_u), np.asarray(scores_u, np.float32), n_slots
         )
         if rerank:
             top_s, top_i = _rerank_members(
                 jnp.asarray(vectors), q, jnp.asarray(out_idx),
                 jnp.asarray(valid), k
+            )
+            out_scores = np.asarray(top_s, np.float32)
+            out_idx = np.asarray(top_i, np.int32)
+        elif refine:
+            top_s, top_i = _rerank_refine(
+                self.codewords, self.unique_codes, self.refine_codewords,
+                self.refine_codes, q, jnp.asarray(out_u),
+                jnp.asarray(out_idx), jnp.asarray(valid), k,
             )
             out_scores = np.asarray(top_s, np.float32)
             out_idx = np.asarray(top_i, np.int32)
@@ -314,7 +381,9 @@ class HNSWPQIndex:
         output slot j of query q belongs to the hit whose cumulative member
         count first exceeds j; its member is then
         ``members[offsets[hit] + (j - slots_before_hit)]``.
-        Returns (scores, idx, valid, total) as (Q, k) arrays + (Q,) totals.
+        Returns (scores, idx, ucode_idx, valid, total): (Q, k) arrays +
+        (Q,) totals; ``ucode_idx`` is each slot's unique-code row (the
+        refine re-rank decodes the coarse part from it).
         """
         U = self.unique_codes.shape[0]
         Q, ku = idx_u.shape
@@ -342,7 +411,8 @@ class HNSWPQIndex:
             np.int32
         )
         out_scores = np.where(valid, scores_u[qi, r], -np.inf).astype(np.float32)
-        return out_scores, out_idx, valid, total
+        out_u = np.where(valid, safe_u[qi, r], 0).astype(np.int32)
+        return out_scores, out_idx, out_u, valid, total
 
     def to_arrays(self):
         arrays = {
@@ -355,6 +425,11 @@ class HNSWPQIndex:
         }
         if self.coarse_ids is not None:
             arrays["coarse_ids"] = np.asarray(self.coarse_ids, np.int32)
+        if self.refine_codes is not None:
+            arrays["refine_codewords"] = np.asarray(
+                self.refine_codewords, np.float32
+            )
+            arrays["refine_codes"] = np.asarray(self.refine_codes)
         return {"entry": self.entry, "ef_default": self.ef_default}, arrays
 
     @classmethod
@@ -371,6 +446,14 @@ class HNSWPQIndex:
             coarse_ids=(
                 jnp.asarray(arrays["coarse_ids"]) if "coarse_ids" in arrays else None
             ),
+            refine_codewords=(
+                jnp.asarray(arrays["refine_codewords"])
+                if "refine_codewords" in arrays else None
+            ),
+            refine_codes=(
+                jnp.asarray(arrays["refine_codes"])
+                if "refine_codes" in arrays else None
+            ),
         )
 
 
@@ -386,6 +469,8 @@ def build_hnsw_pq(
     normalize: bool = True,
     train_sample: Optional[int] = None,
     builder: str = "auto",
+    refine_M: int = 16,
+    refine_Ks: int = 256,
 ) -> HNSWPQIndex:
     """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683).
 
@@ -396,12 +481,47 @@ def build_hnsw_pq(
     insert, exact HNSW semantics), ``"tpu"`` (kNN-graph + device pruning —
     minutes at 1M where the single-thread insert is hours), or ``"auto"``
     (tpu above 32k unique codes: measured 31 min native vs ~2 min TPU at
-    162k unique, BASELINE.md)."""
+    162k unique, BASELINE.md).
+
+    ``refine_M > 0`` (default 16) additionally trains a second PQ over the
+    residuals ``x - decode(code)`` and stores per-image residual codes
+    (``refine_M`` bytes each) — the two-level code the ``*+refine`` search
+    methods reconstruct from. Set 0 to skip (halves index bytes, caps
+    recall@100 at the coarse-ADC ceiling)."""
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
         v = normalize_rows(v)
+    N = v.shape[0]
     cb = pq_train(v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample)
     codes = np.asarray(pq_encode(cb, v))
+
+    refine_cw = refine_codes_np = None
+    if refine_M:
+        # train the residual codebook on a row subsample (faiss-style
+        # points-per-centroid budget), then encode every residual chunked —
+        # a full f32 residual copy is another 8 GB at 1M x 2048
+        rs = min(N, max(16384, 32 * refine_Ks))
+        if rs < N:
+            ridx = np.sort(
+                np.random.RandomState(seed + 1).choice(N, rs, replace=False)
+            )
+            vi = v[jnp.asarray(ridx)]
+            ci = jnp.asarray(codes[ridx])
+        else:
+            vi, ci = v, jnp.asarray(codes)
+        rcb = pq_train(
+            vi - pq_decode(cb, ci), M=refine_M, Ks=refine_Ks,
+            iters=iters, seed=seed + 1,
+        )
+        step = 131072
+        parts = []
+        for s0 in range(0, N, step):
+            res = v[s0 : s0 + step] - pq_decode(
+                cb, jnp.asarray(codes[s0 : s0 + step])
+            )
+            parts.append(np.asarray(pq_encode(rcb, res)))
+        refine_codes_np = np.concatenate(parts, 0) if len(parts) > 1 else parts[0]
+        refine_cw = rcb.codewords
 
     unique, inverse = np.unique(codes, return_inverse=True, axis=0)
     order = np.argsort(inverse, kind="stable")
@@ -456,4 +576,8 @@ def build_hnsw_pq(
         group_members=members,
         ef_default=max(ef_construction, 16),
         coarse_ids=jnp.asarray(coarse) if len(coarse) else None,
+        refine_codewords=refine_cw,
+        refine_codes=(
+            jnp.asarray(refine_codes_np) if refine_codes_np is not None else None
+        ),
     )

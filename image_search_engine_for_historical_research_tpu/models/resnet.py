@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -147,10 +148,19 @@ class ResNetSOA(nn.Module):
 
     Returns the final (B, H/32, W/32, 2048) feature map (post-ReLU, non-negative
     like the reference's features) and the matching validity mask (or None).
+
+    ``frozen_stages``: stop gradients after this stage (0 = none). The
+    reference runs conv1..conv4_x under ``torch.no_grad()`` even in training
+    (networks.py:194-198) — ``frozen_stages=3`` (our layer3 == conv4_x) is
+    that boundary: XLA dead-code-eliminates the whole backward through the
+    stem + layers 1-3, which is the bulk of backbone FLOPs and activation
+    memory at 362 px. The trainer's optimizer mask stays on as
+    belt-and-suspenders (train/optim.py).
     """
 
     architecture: str = "resnet101"
     soa_layers: str = "45"
+    frozen_stages: int = 0
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -192,6 +202,10 @@ class ResNetSOA(nn.Module):
                     name=f"layer{stage}_block{b}",
                 )(feats)
                 feats = apply_mask(feats, stage_masks[stage])
+            if stage == self.frozen_stages:
+                # one boundary suffices: every earlier param feeds only the
+                # stopped subgraph, so its backward is DCE'd entirely
+                feats = jax.lax.stop_gradient(feats)
             if stage == 3 and "4" in self.soa_layers:
                 feats = SOABlock(mid_ch=feats.shape[-1] // 4, name="soa4")(
                     feats, stage_masks[3]

@@ -34,26 +34,74 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
 class SolarRetrieval(nn.Module):
-    """features -> pool -> l2n -> whiten -> l2n (imageretrievalnet.py:168-194)."""
+    """features -> pool -> l2n -> whiten -> l2n (imageretrievalnet.py:168-194).
+
+    ``regional=True`` swaps the pooling stage for the reference's ``Rpool``
+    (``/root/reference/src/layers/pooling.py:77-113``, built by
+    ``init_network`` at imageretrievalnet.py:295-312): the base pooler runs
+    over the full map plus every R-MAC grid region (``ops.pooling.roipool``),
+    each region vector is L2-normalized, whitened by a shared Linear(D, D)
+    (``rwhiten``), re-normalized, and the regions are sum-aggregated into one
+    vector, normalized again. GeM's learnable ``p`` is shared between the
+    full-image and region pools exactly as Rpool shares ``self.rpool``."""
 
     architecture: str = "resnet101"
     pooling: str = "gem"
     soa_layers: str = "45"
     whitening: bool = True
     local_whitening: bool = False
+    regional: bool = False
     p_init: float = 3.0
+    # stop gradients after this backbone stage (3 = the reference's
+    # conv1-4 no_grad freeze, networks.py:194-198); 0 trains everything.
+    # Static module attr: the trainer clones the module with
+    # frozen_stages=3 when freeze_backbone is on — parameters are
+    # structurally identical either way, only the backward graph changes.
+    frozen_stages: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         feats, fmask = ResNetSOA(
             architecture=self.architecture, soa_layers=self.soa_layers,
+            frozen_stages=self.frozen_stages,
             name="features",
         )(x, mask)
 
         if self.local_whitening:
             feats = nn.Dense(feats.shape[-1], name="lwhiten")(feats)
 
-        if self.pooling == "gem":
+        if self.regional:
+            # Rpool consumes full-extent maps (the reference extracts one
+            # image at a time; regional grids over a padded canvas would
+            # pool padding into region vectors)
+            if fmask is not None:
+                raise ValueError(
+                    "regional pooling does not support masked (padded) "
+                    "batches; extract same-size batches instead"
+                )
+            if self.pooling == "gem":
+                p = self.param("gem_p", nn.initializers.constant(self.p_init), ())
+                rp = lambda z: pooling.gem(z, p)  # noqa: E731
+            elif self.pooling == "gemmp":
+                p = self.param(
+                    "gem_p", nn.initializers.constant(self.p_init),
+                    (feats.shape[-1],),
+                )
+                rp = lambda z: pooling.gem(z, p)  # noqa: E731
+            elif self.pooling == "mac":
+                rp = pooling.mac
+            elif self.pooling == "spoc":
+                rp = pooling.spoc
+            else:
+                raise ValueError(
+                    f"unsupported regional base pooling: {self.pooling}"
+                )
+            o = pooling.roipool(feats, rp)             # (B, R, D)
+            o = normalization.l2n(o)                   # per-region norm
+            o = nn.Dense(o.shape[-1], name="rwhiten")(o)
+            o = normalization.l2n(o)
+            v = normalization.l2n(jnp.sum(o, axis=1))  # sum-aggregate + norm
+        elif self.pooling == "gem":
             p = self.param("gem_p", nn.initializers.constant(self.p_init), ())
             v = pooling.gem(feats, p, mask=fmask)
         elif self.pooling == "gemmp":
@@ -107,6 +155,7 @@ def init_network(params: Optional[Dict[str, Any]] = None, rng=None) -> Retrieval
     p = params.get("p", 3.0)
     whitening = params.get("whitening", True)
     local_whitening = params.get("local_whitening", False)
+    regional = params.get("regional", False)
     soa = params.get("soa", True)
     soa_layers = params.get("soa_layers", "45") if soa else ""
     mean = params.get("mean", list(IMAGENET_MEAN))
@@ -121,6 +170,7 @@ def init_network(params: Optional[Dict[str, Any]] = None, rng=None) -> Retrieval
         soa_layers=soa_layers,
         whitening=whitening,
         local_whitening=local_whitening,
+        regional=regional,
         p_init=float(p),
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -131,7 +181,7 @@ def init_network(params: Optional[Dict[str, Any]] = None, rng=None) -> Retrieval
         "architecture": architecture,
         "local_whitening": local_whitening,
         "pooling": pooling_name,
-        "regional": False,
+        "regional": regional,
         "whitening": whitening,
         "mean": mean,
         "std": std,

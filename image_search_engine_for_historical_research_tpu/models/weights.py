@@ -121,6 +121,14 @@ def convert_solar_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
         _set(params, ("lwhiten", "bias"), _as_numpy(sd["lwhiten.bias"]))
     if "pool.p" in sd:
         _set(params, ("gem_p",), _as_numpy(sd["pool.p"]).reshape(()))
+    # regional nets: pool is Rpool(rpool=GeM, whiten=Linear) — the GeM p
+    # lives at pool.rpool.p and the per-region whitening at pool.whiten
+    # (imageretrievalnet.py:295-312, layers/pooling.py:77-113)
+    if "pool.rpool.p" in sd:
+        _set(params, ("gem_p",), _as_numpy(sd["pool.rpool.p"]).reshape(()))
+    if "pool.whiten.weight" in sd:
+        _set(params, ("rwhiten", "kernel"), _as_numpy(sd["pool.whiten.weight"]).T)
+        _set(params, ("rwhiten", "bias"), _as_numpy(sd["pool.whiten.bias"]))
 
     return {"params": params, "batch_stats": stats}
 

@@ -88,12 +88,19 @@ def _rmac_grid(H: int, W: int, L: int) -> List[Tuple[int, int, int]]:
     dimension receives ``idx+1`` extra regions, where ``idx`` picks the candidate
     region count in [2..7] whose overlap is closest to 0.4.
     """
+    # pure host math on the STATIC H/W: jnp here would turn the grid into a
+    # traced value and break any caller under jit (e.g. the regional
+    # training step), where H/W are Python ints anyway
     ovr = 0.4
-    steps = jnp.array([2, 3, 4, 5, 6, 7], dtype=jnp.float32)
+    steps = [2, 3, 4, 5, 6, 7]
 
     w = min(W, H)
-    b = (max(H, W) - w) / (steps - 1)
-    idx = int(jnp.argmin(jnp.abs(((w**2 - w * b) / w**2) - ovr)))
+    idx = min(
+        range(len(steps)),
+        key=lambda i: abs(
+            (w**2 - w * ((max(H, W) - w) / (steps[i] - 1))) / w**2 - ovr
+        ),
+    )
 
     Wd = idx + 1 if H < W else 0
     Hd = idx + 1 if H > W else 0

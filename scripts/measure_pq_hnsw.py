@@ -38,6 +38,9 @@ def main():
     p.add_argument("--n", type=int, default=1_000_000)
     p.add_argument("--q", type=int, default=70)
     p.add_argument("--ks", type=int, default=2 ** 13)
+    p.add_argument("--refine-m", type=int, default=16)
+    p.add_argument("--refine-only", action="store_true",
+                   help="skip the non-refine methods (faster sweeps)")
     args = p.parse_args()
 
     db = clustered_db(jax.random.PRNGKey(1), args.n, 2048)
@@ -47,16 +50,29 @@ def main():
     i_ex = np.asarray(i_ex)
 
     t0 = time.time()
-    ix = build_hnsw_pq(db, M=16, Ks=args.ks, m=16, normalize=False)
+    ix = build_hnsw_pq(
+        db, M=16, Ks=args.ks, m=16, normalize=False, refine_M=args.refine_m
+    )
     build_s = time.time() - t0
     print(json.dumps({
         "stage": "build", "N": args.n, "Ks": args.ks,
+        "refine_M": args.refine_m,
         "unique_codes": int(ix.unique_codes.shape[0]),
         "seconds": round(build_s, 1),
     }), flush=True)
 
-    for method in ("adc", "adc+rerank", "graph"):
-        kw = {"vectors": db} if method == "adc+rerank" else {}
+    configs = [
+        ("adc", {}),
+        ("adc+rerank", {"vectors": db}),
+        ("adc+refine", {}),
+        ("adc+refine", {"expand": 8}),
+        ("graph", {}),
+        ("graph+refine", {"ef": 128, "n_seeds": 8}),
+        ("graph+refine", {"ef": 200, "n_seeds": 16, "expand": 8}),
+    ]
+    if args.refine_only:
+        configs = [c for c in configs if "refine" in c[0]]
+    for method, kw in configs:
         t0 = time.time()
         s, ids = ix.search(queries, 100, method=method, **kw)
         ids = np.asarray(ids)
@@ -72,6 +88,7 @@ def main():
         ]))
         print(json.dumps({
             "stage": "search", "method": method, "Q": args.q,
+            **{k: v for k, v in kw.items() if k != "vectors"},
             "first_s": round(t1 - t0, 1),
             "ms_per_query": round((t2 - t1) / args.q * 1e3, 2),
             "recall10": round(r10, 3), "recall100": round(r100, 3),

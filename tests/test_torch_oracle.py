@@ -32,6 +32,7 @@ def _build_pair(config, seed=0):
         pooling=config.get("pooling", "gem"),
         whitening=config.get("whitening", True),
         local_whitening=config.get("local_whitening", False),
+        regional=config.get("regional", False),
         soa=True,
         soa_layers=config.get("soa_layers", "45"),
         pretrained=False,  # random torchvision init — no download
@@ -49,6 +50,7 @@ def _build_pair(config, seed=0):
             "pooling": ref_params["pooling"],
             "whitening": ref_params["whitening"],
             "local_whitening": ref_params["local_whitening"],
+            "regional": ref_params["regional"],
             "soa": True,
             "soa_layers": ref_params["soa_layers"],
         }
@@ -129,6 +131,24 @@ def test_parity_local_whitening():
     np.testing.assert_allclose(
         _our_descriptor(ours, x), _torch_descriptor(tnet, x), atol=1e-5, rtol=0
     )
+
+
+def test_parity_regional_rpool():
+    """The regional path: pool becomes Rpool(GeM, rwhiten Linear) — roipool
+    over the R-MAC grid, per-region l2n -> whiten -> l2n, sum-aggregate, l2n
+    (imageretrievalnet.py:295-312, layers/pooling.py:77-113)."""
+    tnet, ours = _build_pair(
+        {"soa_layers": "45", "whitening": True, "regional": True}, seed=17
+    )
+    assert ours.meta["regional"] is True
+    assert "rwhiten" in ours.params["params"]
+    # two sizes: square (symmetric grid) and non-square (Wd/Hd overplus branch)
+    for size, seed in (((64, 64), 19), ((64, 96), 21)):
+        x = _rand_images((1, *size, 3), seed=seed)
+        np.testing.assert_allclose(
+            _our_descriptor(ours, x), _torch_descriptor(tnet, x),
+            atol=2e-5, rtol=0,
+        )
 
 
 def test_parity_resnet50():

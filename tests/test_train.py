@@ -60,6 +60,42 @@ def test_train_step_updates_only_trainable(setup):
     assert float(loss2) < float(loss1)
 
 
+def test_frozen_stages_grads_match_optimizer_mask(setup):
+    """frozen_stages=3 (the reference's conv1-4 no_grad boundary,
+    networks.py:194-198) must leave the TRAINABLE params' gradients identical
+    to the full backward, while zeroing the frozen ones at the source —
+    the optimizer-mask-only path computed them and multiplied by zero."""
+    net, tx, state, images, labels_arr, S = setup
+    loss_full = train.make_loss_fn(net.module, S, lambda_sos=0.1)
+    loss_frozen = train.make_loss_fn(net.module.clone(frozen_stages=3), S,
+                                     lambda_sos=0.1)
+    g_full = jax.grad(lambda v: loss_full(v, images, labels_arr))(state.params)
+    g_froz = jax.grad(lambda v: loss_frozen(v, images, labels_arr))(state.params)
+    gf, gz = g_full["params"], g_froz["params"]
+    # forward value unchanged
+    np.testing.assert_allclose(
+        float(loss_full(state.params, images, labels_arr)),
+        float(loss_frozen(state.params, images, labels_arr)), rtol=1e-6,
+    )
+    # trainable grads identical (same forward activations, same backward ops)
+    for key in ("layer4_block0", "soa4", "soa5"):
+        np.testing.assert_allclose(
+            np.asarray(gf["features"][key]["conv1" if "layer" in key else "f_conv"]["kernel"]),
+            np.asarray(gz["features"][key]["conv1" if "layer" in key else "f_conv"]["kernel"]),
+            rtol=1e-5, atol=1e-7,
+        )
+    np.testing.assert_allclose(
+        np.asarray(gf["gem_p"]), np.asarray(gz["gem_p"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gf["whiten"]["kernel"]), np.asarray(gz["whiten"]["kernel"]),
+        rtol=1e-5, atol=1e-7)
+    # frozen grads exactly zero at the source
+    assert not np.any(np.asarray(gz["features"]["conv1"]["kernel"]))
+    assert not np.any(np.asarray(gz["features"]["layer3_block0"]["conv1"]["kernel"]))
+    # and the full backward did compute nonzero ones there (the waste)
+    assert np.any(np.asarray(gf["features"]["conv1"]["kernel"]))
+
+
 def test_sharded_train_step_matches_unsharded(setup):
     net, tx, state, images, labels_arr, S = setup
     mesh = parallel.data_mesh(2)
