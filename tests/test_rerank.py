@@ -148,8 +148,9 @@ class TestKR:
         assert p1 >= p0 - 0.05, (p0, p1)
 
 
-def test_kr_rerank_oom_guard():
-    """120k-gallery kr must refuse before allocating (16 GB chip would wedge)."""
+def test_kr_rerank_dense_oom_guard():
+    """Forced-dense 120k-gallery kr must refuse before allocating (16 GB chip
+    would wedge); auto now routes that size to the chunked path instead."""
     import numpy as np
     import pytest
 
@@ -160,7 +161,25 @@ def test_kr_rerank_oom_guard():
         np.zeros((1, 8), np.float32), shape=(120_000, 8), strides=(0, 4)
     )
     with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
-        kr_rerank(q, g)
+        kr_rerank(q, g, method="dense")
+
+
+def test_kr_chunked_matches_dense():
+    """The >=100k-envelope chunked path (VERDICT r3 #5) is rank-identical to
+    the dense one-jit path on sizes both can run, across uneven chunk edges."""
+    import numpy as np
+
+    from image_search_engine_for_historical_research_tpu.rerank.kr import (
+        kr_rerank,
+        kr_rerank_chunked,
+    )
+
+    rng = np.random.RandomState(3)
+    q = rng.randn(9, 48).astype(np.float32)
+    g = rng.randn(401, 48).astype(np.float32)
+    dense = np.asarray(kr_rerank(q, g, method="dense"))
+    chunked = np.asarray(kr_rerank_chunked(q, g, row_chunk=128, set_chunk=53))
+    np.testing.assert_array_equal(dense[:, :50], chunked[:, :50])
 
 
 class TestDiffusionAtScale:
