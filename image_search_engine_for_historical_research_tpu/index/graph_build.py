@@ -140,7 +140,8 @@ def _union_reprune_chunk(vectors, c_ids, c_sc, b_ids, b_sc, m: int, alpha: float
     order = jnp.argsort(-u_sc, axis=1, stable=True)
     u_ids = jnp.take_along_axis(u_ids, order, 1)
     u_sc = jnp.take_along_axis(u_sc, order, 1)
-    return _prune_core(vectors, u_ids, u_sc, m, alpha)[0]
+    ids, _, n_kept = _prune_core(vectors, u_ids, u_sc, m, alpha)
+    return ids, n_kept
 
 
 @jax.jit
@@ -203,9 +204,11 @@ def build_knn_graph(
                 approximate=approximate, recall_target=recall_target,
             )
             # commit the replicated mesh output to the default device so the
-            # downstream single-device chunked passes see ordinary arrays
-            sc = jax.device_put(np.asarray(sc))
-            ix = jax.device_put(np.asarray(ix))
+            # downstream single-device chunked passes see ordinary arrays —
+            # device-to-device, never through host numpy (at 1M the per-chunk
+            # host drains total ~0.8 GB through the slow tunnel)
+            sc = jax.device_put(sc, jax.devices()[0])
+            ix = jax.device_put(ix, jax.devices()[0])
         else:
             sc, ix = exact_topk(
                 q, db, k_eff, matmul_dtype=matmul_dtype,
@@ -293,22 +296,25 @@ def build_hnsw_graph_tpu(
     if verbose:
         jax.block_until_ready(bl_ids)
     _tick("backlink gather")
-    n0_chunks = []
+    n0_chunks, nk_chunks = [], []
     pb = _prune_batch(cand_ids.shape[1] + bl_ids.shape[1])
     for s in range(0, N, pb):
-        n0_chunks.append(
-            _union_reprune_chunk(
-                vectors,
-                cand_ids[s : s + pb],
-                cand_scores[s : s + pb],
-                bl_ids[s : s + pb],
-                bl_sc[s : s + pb],
-                m0,
-                alpha,
-            )
+        n0_c, nk_c = _union_reprune_chunk(
+            vectors,
+            cand_ids[s : s + pb],
+            cand_scores[s : s + pb],
+            bl_ids[s : s + pb],
+            bl_sc[s : s + pb],
+            m0,
+            alpha,
         )
+        n0_chunks.append(n0_c)
+        nk_chunks.append(nk_c)
     nbr0_dev = jnp.concatenate(n0_chunks, 0) if len(n0_chunks) > 1 else n0_chunks[0]
     nbr0 = np.asarray(nbr0_dev)  # ONE download: (N, m0) int32
+    union_kept = np.asarray(
+        jnp.concatenate(nk_chunks, 0) if len(nk_chunks) > 1 else nk_chunks[0]
+    )  # heuristic survivors per node (slots beyond are backfill)
     _tick("reverse-union re-prune")
 
     # geometric levels + upper-level lists from candidates within the level set
@@ -361,11 +367,15 @@ def build_hnsw_graph_tpu(
     # clusters, so their edges are exactly the missing "highways". hnswlib
     # walks those levels with separate per-level tables during descent; our
     # beam consumes ONE flat (N, m0) table, so on each hub node (level >= 1,
-    # ~N/m of all nodes) up to m0/2 of the *tail* slots — the farthest
-    # keepPrunedConnections backfill — are replaced by that node's hierarchy
-    # edges. Width stays m0, so the pallas kernel's per-expansion DMA cost
-    # is unchanged. Rows are deduped (an id twice in one row would enter the
-    # beam twice: the visited check precedes the row's own writes).
+    # ~N/m of all nodes) tail slots are replaced by that node's hierarchy
+    # edges — preferring the keepPrunedConnections *backfill* slots (those
+    # past the union-prune's heuristic-survivor count) and cutting into real
+    # heuristic survivors only down to a guaranteed m0/8 hierarchy links,
+    # never more than m0/2 total: a hub whose heuristic kept nearly all m0
+    # diversity edges loses at most m0/8 of them. Width stays m0, so the
+    # pallas kernel's per-expansion DMA cost is unchanged. Rows are deduped
+    # (an id twice in one row would enter the beam twice: the visited check
+    # precedes the row's own writes).
     hier = np.concatenate([nbru[l] for l in range(max_levels - 1)], 1)
     comb = np.concatenate([nbr0, hier], 1)  # locals first: dedup keeps them
     _dedup_np_rows(comb)
@@ -375,7 +385,11 @@ def build_hnsw_graph_tpu(
     vl = valid & (cols < m0)
     vh = valid & (cols >= m0)
     n_h = vh.sum(1)
-    n_keep_local = m0 - np.minimum(n_h, m0 // 2)          # (N,)
+    n_backfill = np.maximum(m0 - union_kept, 0)
+    n_evict = np.minimum(
+        np.minimum(n_h, m0 // 2), np.maximum(n_backfill, m0 // 8)
+    )
+    n_keep_local = m0 - n_evict                           # (N,)
     keep_l = vl & ((np.cumsum(vl, 1) - 1) < n_keep_local[:, None])
     kept_l = keep_l.sum(1)
     keep_h = vh & ((np.cumsum(vh, 1) - 1) < (m0 - kept_l)[:, None])
@@ -500,21 +514,32 @@ def build_hnsw_tpu(
     from .base import normalize_rows
     from .hnsw import HNSWIndex
 
-    v = jnp.asarray(vecs)
+    # keep host-resident non-bf16 input on the host until the chunk loop: an
+    # upfront jnp.asarray of a 1M x 2048 f32 source (8 GB) would stay live
+    # while the 4 GB bf16 parts + 4 GB concatenate output allocate, peaking
+    # ~16 GB against the 15.7 GB usable HBM. Chunks upload one at a time.
+    host_src = not isinstance(vecs, jnp.ndarray) and getattr(
+        vecs, "dtype", None
+    ) != jnp.bfloat16
+    v = vecs if host_src else jnp.asarray(vecs)
     if normalize:
         # chunked fused normalize+cast: at 1M x 2048 a full f32 upcast (8 GB)
         # next to the bf16 input and result peaks over single-chip HBM
         # (measured OOM); per-chunk jitted calls keep the f32 temp small.
-        N, D = v.shape
+        N = v.shape[0]
         chunk = 65536
         if N > chunk:
             parts = [
-                _normalize_bf16_chunk(v[s : s + chunk])
+                _normalize_bf16_chunk(jnp.asarray(v[s : s + chunk]))
                 for s in range(0, N, chunk)
             ]
             v = jnp.concatenate(parts, axis=0)
         else:
-            v = normalize_rows(v.astype(jnp.float32)).astype(jnp.bfloat16)
+            v = normalize_rows(
+                jnp.asarray(v).astype(jnp.float32)
+            ).astype(jnp.bfloat16)
+    elif host_src:
+        v = jnp.asarray(v)
     if v.dtype != jnp.bfloat16:
         v = v.astype(jnp.bfloat16)
     nbr0, nbru, levels, entry, top = build_hnsw_graph_tpu(

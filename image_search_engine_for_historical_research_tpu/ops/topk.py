@@ -41,6 +41,18 @@ ONESHOT_SCORE_BYTES = 2 << 30
 # metric="l2" (the elementwise shift fuses too); beyond this validated bound
 # we fall back to chunking.
 APPROX_ONESHOT_SCORE_BYTES = 32 << 30
+
+
+def _approx_budget() -> int:
+    """The raised approximate-mode budget assumes the TPU approx_max_k/matmul
+    fusion; on CPU/GPU backends approx_max_k lowers to a real top-k over a
+    materialized score matrix, so fall back to the exact chunking budget
+    there (a 32 GB f32 score tile would otherwise land in memory)."""
+    return (
+        APPROX_ONESHOT_SCORE_BYTES
+        if jax.default_backend() == "tpu"
+        else ONESHOT_SCORE_BYTES
+    )
 # query-block rows for very large query batches (bounds the chunked-path
 # merge buffers: nchunks * QBLOCK * k * 8 bytes)
 QBLOCK = 8192
@@ -102,7 +114,7 @@ def exact_topk(
     Q, D = queries.shape
     N = db.shape[0]
     k = min(k, N)
-    budget = APPROX_ONESHOT_SCORE_BYTES if approximate else ONESHOT_SCORE_BYTES
+    budget = _approx_budget() if approximate else ONESHOT_SCORE_BYTES
 
     if Q > QBLOCK and Q * N * 4 > budget:
         pad = (-Q) % QBLOCK
@@ -131,7 +143,7 @@ def _exact_topk_impl(
 ):
     Q, D = queries.shape
     N = db.shape[0]
-    budget = APPROX_ONESHOT_SCORE_BYTES if approximate else ONESHOT_SCORE_BYTES
+    budget = _approx_budget() if approximate else ONESHOT_SCORE_BYTES
 
     q = queries.astype(matmul_dtype) if matmul_dtype is not None else queries
 

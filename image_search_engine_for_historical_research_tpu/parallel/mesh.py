@@ -15,10 +15,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def data_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    """1-D mesh over the first ``n_devices`` devices (default: all).
+
+    Axis type is pinned to Auto (classic GSPMD): this codebase shards with
+    jit in/out_shardings + with_sharding_constraint, and newer jax's
+    Explicit default would stamp mesh-typed avals onto build outputs,
+    breaking their use in later single-device jits (e.g. the diffusion
+    artifact consumed by ``diffusion_online_scores``)."""
     devs = jax.devices()
     n = n_devices or len(devs)
-    return jax.make_mesh((n,), (axis,), devices=devs[:n])
+    try:
+        from jax.sharding import AxisType
+
+        return jax.make_mesh(
+            (n,), (axis,), devices=devs[:n], axis_types=(AxisType.Auto,)
+        )
+    except (ImportError, TypeError):
+        return jax.make_mesh((n,), (axis,), devices=devs[:n])
 
 
 def shard_batch(x, mesh: Mesh, axis: str = "data"):

@@ -420,6 +420,10 @@ def build_diffusion_offline(
                 vecs[start : start + batch], vecs_sharded, lap_nbr, lap_val,
                 T, mesh,
             )
+            # commit to the default device (device-to-device, no host drain):
+            # the artifact must be consumable by the single-device online jit
+            tids = jax.device_put(tids, jax.devices()[0])
+            sc = jax.device_put(sc, jax.devices()[0])
         else:
             tids, sc = _knn_and_solve(
                 vecs[start : start + batch], vecs, lap_nbr, lap_val, T,
