@@ -558,3 +558,31 @@ def make_batched_count_fn(module, variables, compute_dtype=None):
         return jax.vmap(one)(imgs0, imgs1)
 
     return partial(fn, variables)
+
+
+def make_banked_count_fn(module, variables, compute_dtype=None):
+    """One-dispatch match counter over a device-resident IMAGE BANK.
+
+    ``fn(bank (U,H,W,1), iq (nb,B), ic (nb,B)) -> (nb,B)``: unique images
+    upload once, then every pair block of the re-rank runs inside a single
+    jitted ``lax.scan`` (pairs gathered from the bank by index) — no per-block
+    dispatch round-trips (VERDICT r3 #4, same pattern as the AdaLAM banked
+    scan counter). The driver is ``rerank.loftr_rerank(banked=True)``."""
+
+    @jax.jit
+    def fn(vars_, bank, iq, ic):
+        if compute_dtype is not None:
+            vars_ = _cast_floats(vars_, compute_dtype)
+            bank = bank.astype(compute_dtype)
+
+        def one(i0, i1):
+            return module.apply(vars_, i0, i1).num_matches
+
+        def body(carry, idx):
+            bq, bc = idx
+            return carry, jax.vmap(one)(bank[bq], bank[bc])
+
+        _, outs = jax.lax.scan(body, 0, (iq, ic))
+        return outs
+
+    return partial(fn, variables)

@@ -582,6 +582,12 @@ class AdalamFilter:
         """
         return _banked_counter_for(tuple(sorted(self.config.items())))
 
+    def make_banked_scan_counter(self):
+        """One-dispatch variant of ``make_banked_counter``: takes (nb, B)
+        pair-index blocks and scans them on device — the production SAHA
+        path (see ``_banked_scan_counter_for``)."""
+        return _banked_scan_counter_for(tuple(sorted(self.config.items())))
+
     def radius(self, imshape: Tuple[int, int]) -> float:
         """AdaLAM neighborhood radius for an image shape (adalam.py R1/R2)."""
         return float(
@@ -652,5 +658,37 @@ def _banked_counter_for(config_items):
             xy[iq], xy[ic], desc[iq], desc[ic], odeg[iq], odeg[ic],
             sc[iq], sc[ic], valid[iq], valid[ic], R[iq], R[ic],
         )
+
+    return fn
+
+
+@lru_cache(maxsize=None)
+def _banked_scan_counter_for(config_items):
+    """ONE jitted program for every pair block of a re-rank (VERDICT r3 #4).
+
+    ``fn(bank..., iq (nb, B), ic (nb, B)) -> counts (nb, B)``: a
+    ``lax.scan`` over pair blocks, each block gathering its features from
+    the device bank and running the vmapped AdaLAM counter. The whole
+    Q x b candidate verification is a single dispatch — the per-block host
+    loop of ``make_banked_counter`` paid a tunnel round-trip per block
+    (~33 ms dispatch + sync each, measured 1.19 s/pair production vs
+    13.6 ms/pair device compute, BASELINE.md).
+    """
+    import jax
+
+    pairwise = _batched_counter_for(config_items)
+
+    @jax.jit
+    def fn(xy, desc, odeg, sc, valid, R, iq, ic):
+        def body(carry, idx):
+            bq, bc = idx
+            out = pairwise(
+                xy[bq], xy[bc], desc[bq], desc[bc], odeg[bq], odeg[bc],
+                sc[bq], sc[bc], valid[bq], valid[bc], R[bq], R[bc],
+            )
+            return carry, out
+
+        _, outs = jax.lax.scan(body, 0, (iq, ic))
+        return outs
 
     return fn

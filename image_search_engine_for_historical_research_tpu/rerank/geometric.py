@@ -315,22 +315,26 @@ def adalam_count_pairs(
     feats_c: Sequence[LocalFeatures],
     custom_config: Optional[dict] = None,
     pair_batch: int = 8,
+    dispatch: str = "scan",
 ) -> np.ndarray:
     """Surviving-AdaLAM-match counts for a list of feature pairs.
 
-    Two-level batching (VERDICT r2 weak #6 + the tunnel-transfer fix):
-    unique ``LocalFeatures`` objects are deduplicated into a device-resident
+    Unique ``LocalFeatures`` objects are deduplicated into a device-resident
     bank uploaded ONCE (a query's features repeat across all its b candidate
-    pairs), then ``pair_batch`` pairs at a time run as one jitted vmapped
-    program gathering from the bank by index — each dispatch ships only two
-    small index vectors. Returns (len(pairs),).
+    pairs); pairs are then gathered from the bank by index inside jit.
+    ``dispatch="scan"`` (default, VERDICT r3 #4) runs ALL pair blocks as one
+    jitted ``lax.scan`` program — a single device dispatch for the whole
+    re-rank instead of one per ``pair_batch`` block (each block dispatch paid
+    a ~33 ms tunnel round-trip + sync: 1.19 s/pair production vs 13.6 ms/pair
+    device compute, BASELINE.md). ``dispatch="loop"`` keeps the per-block
+    host loop (useful when pair counts vary per call and retraces of the
+    scan length would dominate). Returns (len(pairs),).
     """
     import jax.numpy as jnp
 
     from .adalam import AdalamFilter
 
     filt = AdalamFilter(custom_config)
-    counter = filt.make_banked_counter()
     P = len(feats_q)
     if P == 0:
         return np.zeros((0,), np.int64)
@@ -358,6 +362,21 @@ def adalam_count_pairs(
     valid = jnp.asarray(np.stack([np.arange(K) < f.count for f in bank]))
     R = jnp.asarray([filt.radius(f.shape) for f in bank], jnp.float32)
 
+    if dispatch == "scan":
+        counter = filt.make_banked_scan_counter()
+        nb = -(-P // pair_batch)
+        pad = nb * pair_batch - P
+        iq_p = np.concatenate([iq, np.full(pad, iq[-1], np.int32)])
+        ic_p = np.concatenate([ic, np.full(pad, ic[-1], np.int32)])
+        out = counter(
+            xy, desc, odeg, sc, valid, R,
+            jnp.asarray(iq_p.reshape(nb, pair_batch)),
+            jnp.asarray(ic_p.reshape(nb, pair_batch)),
+        )
+        counts[:] = np.asarray(out).reshape(-1)[:P]
+        return counts
+
+    counter = filt.make_banked_counter()
     for s in range(0, P, pair_batch):
         iq_b = iq[s : s + pair_batch]
         ic_b = ic[s : s + pair_batch]
@@ -479,23 +498,29 @@ def loftr_rerank(
     resolution: Tuple[int, int] = (640, 480),
     count_fn=None,
     pair_batch: int = 4,
+    banked_count_fn=None,
 ):
     """Detector-free matcher re-rank (Reranking.py:126-185).
 
     Candidates are re-sorted by match count (confidences over threshold);
     images are grayscale-resized to ``resolution`` (reference uses 720x480).
-    Two drivers:
+    Three drivers (pass exactly one):
 
+    - ``banked_count_fn`` (``models.loftr.make_banked_count_fn``): the
+      production path — unique images upload once into a device bank and ALL
+      pair blocks run as one jitted scanned dispatch (VERDICT r3 #4).
     - ``count_fn`` (``models.loftr.make_batched_count_fn``): pairs are
-      stacked ``pair_batch`` at a time into one jitted vmapped program —
-      the batched path (VERDICT r2 weak #6).
+      stacked ``pair_batch`` at a time, one dispatch per block, images
+      re-uploaded per pair occurrence.
     - ``match_fn`` (``models.loftr.make_match_fn``): legacy one-dispatch-
       per-pair, when the full MatchResult is wanted.
     """
     import cv2
 
-    if (match_fn is None) == (count_fn is None):
-        raise ValueError("pass exactly one of match_fn / count_fn")
+    if sum(f is not None for f in (match_fn, count_fn, banked_count_fn)) != 1:
+        raise ValueError(
+            "pass exactly one of match_fn / count_fn / banked_count_fn"
+        )
 
     w, h = resolution
 
@@ -510,6 +535,40 @@ def loftr_rerank(
     Q = len(query_paths)
     b = min(b, ranks.shape[1])
     counts = np.zeros((Q, b), np.int64)
+
+    if banked_count_fn is not None:
+        import jax.numpy as jnp
+
+        paths = list(query_paths) + [
+            db_paths[int(ranks[qi, j])] for qi in range(Q) for j in range(b)
+        ]
+        uniq: dict = {}
+        for p in paths:
+            if p not in uniq:
+                uniq[p] = len(uniq)
+        bank = jnp.asarray(
+            np.stack([load(p) for p in uniq])  # (U, H, W, 1), uploaded once
+        )
+        iq = np.array(
+            [uniq[query_paths[qi]] for qi in range(Q) for _ in range(b)],
+            np.int32,
+        )
+        ic = np.array(
+            [uniq[db_paths[int(ranks[qi, j])]] for qi in range(Q) for j in range(b)],
+            np.int32,
+        )
+        P = Q * b
+        nb = -(-P // pair_batch)
+        pad = nb * pair_batch - P
+        iq = np.concatenate([iq, np.full(pad, iq[-1], np.int32)])
+        ic = np.concatenate([ic, np.full(pad, ic[-1], np.int32)])
+        out = banked_count_fn(
+            bank,
+            jnp.asarray(iq.reshape(nb, pair_batch)),
+            jnp.asarray(ic.reshape(nb, pair_batch)),
+        )
+        counts = np.asarray(out).reshape(-1)[:P].reshape(Q, b)
+        return rerank_by_inliers(ranks, counts, b)
 
     if count_fn is not None:
         img_cache: dict = {}

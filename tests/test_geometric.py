@@ -170,6 +170,12 @@ class TestBatchedAdalam:
         assert seq_counts[0] > 50        # the true pair survives
         assert seq_counts[1] < seq_counts[0]
 
+        # the default one-dispatch scan path equals the per-block host loop
+        loop_counts = G.adalam_count_pairs(
+            pairs_q, pairs_c, pair_batch=2, dispatch="loop"
+        )
+        np.testing.assert_array_equal(loop_counts, bat_counts)
+
     def test_sift_rerank_batched_default(self, tmp_path):
         import cv2
 
@@ -234,6 +240,14 @@ class TestLoFTRRerank:
             count_fn=count_fn, b=2, resolution=(96, 64), pair_batch=2,
         )
         np.testing.assert_array_equal(out_b, out)
+
+        # the one-dispatch banked scan path re-ranks identically
+        banked_fn = loftr.make_banked_count_fn(m, variables)
+        out_k = G.loftr_rerank(
+            [paths["q"]], [paths["same"], paths["diff"]], ranks,
+            banked_count_fn=banked_fn, b=2, resolution=(96, 64), pair_batch=2,
+        )
+        np.testing.assert_array_equal(out_k, out)
 
         import cv2 as _cv2
 
