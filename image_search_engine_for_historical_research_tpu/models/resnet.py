@@ -61,30 +61,36 @@ class FrozenBatchNorm(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """torchvision v1.5 bottleneck: 1x1 -> 3x3 (stride) -> 1x1 (4x) + shortcut."""
+    """torchvision v1.5 bottleneck: 1x1 -> 3x3 (stride) -> 1x1 (4x) + shortcut.
+
+    ``dtype`` casts the conv compute (params stay f32 in the checkpoint):
+    bf16 halves activation memory for training (VERDICT r3 #6)."""
 
     width: int
     strides: int = 1
     use_projection: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = nn.Conv(self.width, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
         y = FrozenBatchNorm(self.width, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.width, (3, 3), strides=self.strides, padding=1,
-            use_bias=False, name="conv2",
+            use_bias=False, dtype=self.dtype, name="conv2",
         )(y)
         y = FrozenBatchNorm(self.width, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.width * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.width * 4, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
         y = FrozenBatchNorm(self.width * 4, name="bn3")(y)
         if self.use_projection:
             residual = nn.Conv(
                 self.width * 4, (1, 1), strides=self.strides,
-                use_bias=False, name="downsample_conv",
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
             residual = FrozenBatchNorm(self.width * 4, name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -99,6 +105,7 @@ class SOABlock(nn.Module):
     """
 
     mid_ch: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -107,14 +114,16 @@ class SOABlock(nn.Module):
 
         def proj_bn_relu(name):
             def f(z):
-                z = nn.Conv(self.mid_ch, (1, 1), name=f"{name}_conv")(z)
+                z = nn.Conv(self.mid_ch, (1, 1), dtype=self.dtype,
+                            name=f"{name}_conv")(z)
                 z = FrozenBatchNorm(self.mid_ch, name=f"{name}_bn")(z)
                 return nn.relu(z)
             return f
 
         f_x = proj_bn_relu("f")(x).reshape(B, N, self.mid_ch)
         g_x = proj_bn_relu("g")(x).reshape(B, N, self.mid_ch)
-        h_x = nn.Conv(self.mid_ch, (1, 1), name="h_conv")(x).reshape(B, N, self.mid_ch)
+        h_x = nn.Conv(self.mid_ch, (1, 1), dtype=self.dtype,
+                      name="h_conv")(x).reshape(B, N, self.mid_ch)
 
         scale = self.mid_ch ** (-0.5)
         logits = scale * jnp.einsum(
@@ -133,7 +142,7 @@ class SOABlock(nn.Module):
         z = nn.Conv(
             self.mid_ch * (C // self.mid_ch), (1, 1),
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            name="v_conv",
+            dtype=self.dtype, name="v_conv",
         )(z)
         return z + x
 
@@ -161,6 +170,12 @@ class ResNetSOA(nn.Module):
     architecture: str = "resnet101"
     soa_layers: str = "45"
     frozen_stages: int = 0
+    # training-throughput knobs (VERDICT r3 #6): ``compute_dtype=bfloat16``
+    # runs the conv/attention compute in bf16 (params stay f32; the retrieval
+    # head and loss stay f32), ``remat`` rematerializes each bottleneck in
+    # the backward pass instead of keeping its activations.
+    compute_dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
@@ -173,6 +188,9 @@ class ResNetSOA(nn.Module):
         extraction up to stride-alignment at the ragged edge.
         """
         blocks = STAGE_BLOCKS[self.architecture]
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        Block = nn.remat(Bottleneck) if self.remat else Bottleneck
 
         def apply_mask(z, m):
             return z if m is None else z * m[..., None].astype(z.dtype)
@@ -184,7 +202,8 @@ class ResNetSOA(nn.Module):
                 stage_masks[i] = _downsample_mask(mask, f)
 
         # conv1: 7x7/2 + BN + ReLU, then 3x3/2 maxpool
-        y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False, name="conv1")(x)
+        y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    dtype=self.compute_dtype, name="conv1")(x)
         y = FrozenBatchNorm(64, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -195,10 +214,11 @@ class ResNetSOA(nn.Module):
         feats = y
         for stage, (n_blocks, w, s) in enumerate(zip(blocks, widths, strides), 1):
             for b in range(n_blocks):
-                feats = Bottleneck(
+                feats = Block(
                     width=w,
                     strides=s if b == 0 else 1,
                     use_projection=(b == 0),
+                    dtype=self.compute_dtype,
                     name=f"layer{stage}_block{b}",
                 )(feats)
                 feats = apply_mask(feats, stage_masks[stage])
@@ -207,12 +227,14 @@ class ResNetSOA(nn.Module):
                 # stopped subgraph, so its backward is DCE'd entirely
                 feats = jax.lax.stop_gradient(feats)
             if stage == 3 and "4" in self.soa_layers:
-                feats = SOABlock(mid_ch=feats.shape[-1] // 4, name="soa4")(
+                feats = SOABlock(mid_ch=feats.shape[-1] // 4,
+                                 dtype=self.compute_dtype, name="soa4")(
                     feats, stage_masks[3]
                 )
                 feats = apply_mask(feats, stage_masks[3])
         if "5" in self.soa_layers:
-            feats = SOABlock(mid_ch=feats.shape[-1] // 2, name="soa5")(
+            feats = SOABlock(mid_ch=feats.shape[-1] // 2,
+                             dtype=self.compute_dtype, name="soa5")(
                 feats, stage_masks[4]
             )
             feats = apply_mask(feats, stage_masks[4])

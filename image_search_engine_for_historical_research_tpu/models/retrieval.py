@@ -58,14 +58,24 @@ class SolarRetrieval(nn.Module):
     # frozen_stages=3 when freeze_backbone is on — parameters are
     # structurally identical either way, only the backward graph changes.
     frozen_stages: int = 0
+    # training-throughput knobs (VERDICT r3 #6): bf16 backbone compute with
+    # an f32 head/loss, and per-bottleneck rematerialization. Parameters are
+    # f32 in both collections either way — checkpoints are unaffected.
+    compute_dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         feats, fmask = ResNetSOA(
             architecture=self.architecture, soa_layers=self.soa_layers,
             frozen_stages=self.frozen_stages,
+            compute_dtype=self.compute_dtype, remat=self.remat,
             name="features",
         )(x, mask)
+        # the head (pooling norms, whitening, loss) always runs f32: GeM's
+        # clamp/power and the L2 norms are precision-sensitive, and the
+        # backbone is where the FLOPs/activations are
+        feats = feats.astype(jnp.float32)
 
         if self.local_whitening:
             feats = nn.Dense(feats.shape[-1], name="lwhiten")(feats)

