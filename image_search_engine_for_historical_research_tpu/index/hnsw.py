@@ -303,7 +303,9 @@ class HNSWPQIndex:
           candidate from its coarse + residual codes (two-level PQ; build
           with ``refine_M > 0``) — **codes only**, no raw vectors, ~32 bytes
           per image instead of 8 KB: the high-recall route for the beyond-HBM
-          regime (0.957@100 at the 1M driver point, BASELINE.md).
+          regime (measured 1M driver point: 0.897/0.907/0.920 recall@100 at
+          refine_M=16/32/64, 2.8-3.5 ms/q, BASELINE.md; default refine_M=32
+          clears the >= 0.9 bar).
         - ``"graph"``: beam search over the code graph — the reference's
           traversal semantics (nnsearch.py:585-683), and the only mode whose
           per-query HBM traffic is o(U): it earns its keep past single-chip
@@ -469,7 +471,7 @@ def build_hnsw_pq(
     normalize: bool = True,
     train_sample: Optional[int] = None,
     builder: str = "auto",
-    refine_M: int = 16,
+    refine_M: int = 32,
     refine_Ks: int = 256,
 ) -> HNSWPQIndex:
     """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683).
@@ -483,7 +485,7 @@ def build_hnsw_pq(
     (tpu above 32k unique codes: measured 31 min native vs ~2 min TPU at
     162k unique, BASELINE.md).
 
-    ``refine_M > 0`` (default 16) additionally trains a second PQ over the
+    ``refine_M > 0`` (default 32) additionally trains a second PQ over the
     residuals ``x - decode(code)`` and stores per-image residual codes
     (``refine_M`` bytes each) — the two-level code the ``*+refine`` search
     methods reconstruct from. Set 0 to skip (halves index bytes, caps
@@ -496,6 +498,13 @@ def build_hnsw_pq(
     codes = np.asarray(pq_encode(cb, v))
 
     refine_cw = refine_codes_np = None
+    if refine_M:
+        # clamp to the largest divisor of D not above the request (the
+        # default 16 would otherwise reject small toy dims outright)
+        D = int(v.shape[1])
+        refine_M = min(refine_M, D)
+        while D % refine_M:
+            refine_M -= 1
     if refine_M:
         # train the residual codebook on a row subsample (faiss-style
         # points-per-centroid budget), then encode every residual chunked —

@@ -86,6 +86,29 @@ def main():
             "ms_per_query_b30": round(dt / B * 1e3 * 30, 1),
         }), flush=True)
 
+    # --- production SAHA path (VERDICT r3 #4): Q queries x b=30 candidate
+    # pairs from a device bank, comparing the per-block host loop with the
+    # one-dispatch scanned program (the Q x b re-rank as ONE device call)
+    Q, b = 8, 30
+    bank = [synth_features(s) for s in range(40)]
+    fq, fc = [], []
+    for qi in range(Q):
+        for j in range(b):
+            fq.append(bank[qi])
+            fc.append(bank[(qi + j + 1) % len(bank)])
+    for dispatch in ("loop", "scan"):
+        adalam_count_pairs(fq, fc, pair_batch=8, dispatch=dispatch)  # compile
+        dt = _time_reps(
+            lambda: adalam_count_pairs(fq, fc, pair_batch=8, dispatch=dispatch),
+            args.reps,
+        )
+        print(json.dumps({
+            "stage": "adalam_production", "dispatch": dispatch,
+            "Q": Q, "b": b, "pair_batch": 8,
+            "s_per_query": round(dt / Q, 3),
+            "ms_per_pair": round(dt / (Q * b) * 1e3, 2),
+        }), flush=True)
+
     if args.skip_loftr:
         return
 
@@ -104,6 +127,24 @@ def main():
             "ms_per_pair": round(dt / B * 1e3, 2),
             "ms_per_query_b60": round(dt / B * 1e3 * 60, 1),
         }), flush=True)
+
+    # banked one-dispatch LoFTR: 12 pairs from a 13-image bank as one scan
+    import jax.numpy as jnp
+
+    banked_fn = loftr.make_banked_count_fn(m, variables)
+    P, B = 12, 4
+    imgs = jnp.asarray(
+        rng.uniform(0, 1, (P + 1, 480, 640, 1)).astype(np.float32)
+    )
+    iq = jnp.zeros((P // B, B), jnp.int32)
+    ic = jnp.asarray(np.arange(1, P + 1, dtype=np.int32).reshape(P // B, B))
+    banked_fn(imgs, iq, ic)  # warmup/compile
+    dt = _time_reps(lambda: banked_fn(imgs, iq, ic), args.reps)
+    print(json.dumps({
+        "stage": "loftr_banked_scan", "pairs": P, "pair_batch": B,
+        "ms_per_pair": round(dt / P * 1e3, 2),
+        "s_per_query_b60": round(dt / P * 60, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -32,7 +32,19 @@ def _timed(f):
     return time.perf_counter() - t0
 
 
-def measure_train(tuple_size=7, n_tuples=5, imsize=362):
+V5E_BF16_PEAK = 197e12  # TPU v5e peak bf16 FLOP/s (MFU denominator)
+
+
+def measure_train(tuple_size=7, n_tuples=5, imsize=362, variants=None):
+    """Step time / img/s / MFU per throughput variant (VERDICT r3 #2+#6).
+
+    ``baseline`` reproduces round 3 (optimizer mask only — the backward runs
+    through conv1-4); ``frozen`` adds the stop_gradient boundary (the
+    reference's no_grad, networks.py:194-198); ``+bf16`` runs the backbone in
+    bfloat16 with the f32 head; ``+remat`` rematerializes bottlenecks;
+    ``big`` doubles the tuple batch under bf16+remat. MFU is
+    cost-analysis FLOPs / step time / v5e bf16 peak.
+    """
     import jax
     import jax.numpy as jnp
     import optax
@@ -45,70 +57,93 @@ def measure_train(tuple_size=7, n_tuples=5, imsize=362):
     model = init_network({"architecture": "resnet101"}, rng=jax.random.PRNGKey(0))
     tx = optax.adam(1e-6)
     state = init_train_state(model.params, tx)
-    B = tuple_size * n_tuples
-    images = jax.random.uniform(
-        jax.random.PRNGKey(1), (B, imsize, imsize, 3), jnp.float32
-    )
-    # label layout per tuple: -1 query, 1 positive, 0 negatives
-    labels = jnp.tile(
-        jnp.asarray([-1, 1] + [0] * (tuple_size - 2), jnp.int32), n_tuples
-    )
-    step = make_train_step(model.module, tx, S=tuple_size)
-
-    def make_loop(R):
-        @jax.jit
-        def loop(state, images, labels):
-            def body(carry, _):
-                st, im = carry
-                st, loss = step(st, im, labels)
-                return (st, im + loss * 1e-12), None
-
-            (st, im), _ = jax.lax.scan(body, (state, images), None, length=R)
-            # returning only the step counter lets XLA DCE the whole
-            # computation — anchor on updated params AND images
-            leaf = jax.tree_util.tree_leaves(st.params)[0]
-            return jnp.sum(leaf) + jnp.mean(im)
-
-        return loop
-
-    times = {}
-    for R in (1, 3):
-        loop = make_loop(R)
-        _force(loop(state, images, labels))
-        times[R] = min(
-            _timed(lambda: _force(loop(state, images, labels))) for _ in range(3)
+    all_variants = {
+        "baseline": (dict(), 1),
+        "frozen": (dict(frozen_stages=3), 1),
+        "frozen+bf16": (dict(frozen_stages=3, compute_dtype=jnp.bfloat16), 1),
+        "frozen+bf16+remat": (
+            dict(frozen_stages=3, compute_dtype=jnp.bfloat16, remat=True), 1),
+        "frozen+bf16+remat_x2batch": (
+            dict(frozen_stages=3, compute_dtype=jnp.bfloat16, remat=True), 2),
+    }
+    for name in variants or all_variants:
+        overrides, bmul = all_variants[name]
+        nt = n_tuples * bmul
+        B = tuple_size * nt
+        images = jax.random.uniform(
+            jax.random.PRNGKey(1), (B, imsize, imsize, 3), jnp.float32
         )
-    per_step = (times[3] - times[1]) / 2
-    print(json.dumps({
-        "stage": "train_step", "tuples": n_tuples, "tuple_size": tuple_size,
-        "imsize": imsize, "sec_per_step": round(per_step, 3),
-        "img_per_s": round(B / per_step, 1),
-    }), flush=True)
+        labels = jnp.tile(
+            jnp.asarray([-1, 1] + [0] * (tuple_size - 2), jnp.int32), nt
+        )
+        module = model.module.clone(**overrides) if overrides else model.module
+        step = make_train_step(module, tx, S=tuple_size)
+        try:
+            flops = jax.jit(step).lower(
+                state, images, labels
+            ).compile().cost_analysis()["flops"]
+        except Exception:
+            flops = float("nan")
+
+        def make_loop(R):
+            @jax.jit
+            def loop(state, images, labels):
+                def body(carry, _):
+                    st, im = carry
+                    st, loss = step(st, im, labels)
+                    return (st, im + loss * 1e-12), None
+
+                (st, im), _ = jax.lax.scan(body, (state, images), None, length=R)
+                leaf = jax.tree_util.tree_leaves(st.params)[0]
+                return jnp.sum(leaf) + jnp.mean(im)
+
+            return loop
+
+        times = {}
+        for R in (1, 3):
+            loop = make_loop(R)
+            _force(loop(state, images, labels))
+            times[R] = min(
+                _timed(lambda: _force(loop(state, images, labels)))
+                for _ in range(3)
+            )
+        per_step = (times[3] - times[1]) / 2
+        print(json.dumps({
+            "stage": "train_step", "variant": name, "tuples": nt,
+            "tuple_size": tuple_size, "imsize": imsize,
+            "sec_per_step": round(per_step, 3),
+            "img_per_s": round(B / per_step, 1),
+            "tflops_per_step": round(flops / 1e12, 2),
+            "mfu_vs_bf16_peak": round(flops / per_step / V5E_BF16_PEAK, 3),
+        }), flush=True)
 
 
-def measure_kr(n=20000, q=70):
+def measure_kr(sizes=(13000, 100000), q=70):
+    """kr re-rank latency: the old dense envelope (13k) and the chunked
+    >=100k envelope (VERDICT r3 #5; no O(n^2) buffer)."""
     import jax
-    import jax.numpy as jnp
 
     from synth_data import clustered_db
 
     from image_search_engine_for_historical_research_tpu.rerank.kr import kr_rerank
 
-    db = clustered_db(jax.random.PRNGKey(0), n, 2048, n_centers=2048)
-    np.asarray(db[:1, :1])
-    queries = db[:q]
-    t0 = time.time()
-    ranks = kr_rerank(queries, db)
-    _force(ranks)
-    t1 = time.time()
-    ranks = kr_rerank(queries, db)
-    _force(ranks)
-    t2 = time.time()
-    print(json.dumps({
-        "stage": "kr_rerank", "N": n, "Q": q,
-        "first_s": round(t1 - t0, 1),
-        "ms_per_query": round((t2 - t1) / q * 1e3, 2),
-    }), flush=True)
+    for n in sizes:
+        db = clustered_db(jax.random.PRNGKey(0), n, 2048, n_centers=2048)
+        np.asarray(db[:1, :1])
+        queries = db[:q]
+        t0 = time.time()
+        ranks = kr_rerank(queries, db)
+        _force(ranks)
+        t1 = time.time()
+        ranks = kr_rerank(queries, db)
+        _force(ranks)
+        t2 = time.time()
+        print(json.dumps({
+            "stage": "kr_rerank", "N": n, "Q": q,
+            "method": "dense" if 24 * (n + q) ** 2 <= (8 << 30) else "chunked",
+            "first_s": round(t1 - t0, 1),
+            "ms_per_query": round((t2 - t1) / q * 1e3, 2),
+        }), flush=True)
 
 
 if __name__ == "__main__":

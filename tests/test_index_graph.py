@@ -168,7 +168,8 @@ class TestHNSWPQ:
         x, q, exact = data
         ix = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64)
         assert ix.refine_codes is not None
-        assert ix.refine_codes.shape == (1000, 16)
+        # default refine_M=32 clamps to D=32 here (largest divisor of D)
+        assert ix.refine_codes.shape == (1000, 32)
         k = 10
         _, i_adc = ix.search(q, k, method="adc")
         _, i_ref = ix.search(q, k, method="adc+refine", expand=8)
