@@ -14,7 +14,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pq import PQCodebook, pq_encode, pq_pack4, pq_search, pq_train
+from ..ops.pq import PQCodebook, opq_train, pq_encode, pq_pack4, pq_search, pq_train
 from .base import normalize_rows, register
 
 
@@ -25,10 +25,11 @@ class PQIndex:
     codes: jnp.ndarray       # packed4 (two 4-bit codes per byte, Ks <= 16)
     normalized: bool = True
     packed4: bool = False
+    rotation: jnp.ndarray | None = None  # OPQ orthogonal pre-rotation
 
     @property
     def codebook(self) -> PQCodebook:
-        return PQCodebook(codewords=self.codewords)
+        return PQCodebook(codewords=self.codewords, rotation=self.rotation)
 
     @property
     def n(self) -> int:
@@ -42,13 +43,13 @@ class PQIndex:
                          packed4=self.packed4)
 
     def to_arrays(self):
-        return (
-            {"normalized": self.normalized, "packed4": self.packed4},
-            {
-                "codewords": np.asarray(self.codewords, np.float32),
-                "codes": np.asarray(self.codes),
-            },
-        )
+        arrays = {
+            "codewords": np.asarray(self.codewords, np.float32),
+            "codes": np.asarray(self.codes),
+        }
+        if self.rotation is not None:
+            arrays["rotation"] = np.asarray(self.rotation, np.float32)
+        return {"normalized": self.normalized, "packed4": self.packed4}, arrays
 
     @classmethod
     def from_arrays(cls, meta, arrays):
@@ -57,6 +58,9 @@ class PQIndex:
             codes=jnp.asarray(arrays["codes"]),
             normalized=bool(meta.get("normalized", True)),
             packed4=bool(meta.get("packed4", False)),
+            rotation=(
+                jnp.asarray(arrays["rotation"]) if "rotation" in arrays else None
+            ),
         )
 
 
@@ -70,6 +74,8 @@ def build_pq(
     train_sample: int | None = None,
     mesh=None,
     pack4: bool = False,
+    opq: bool = False,
+    opq_iters: int = 10,
 ) -> PQIndex:
     """Train codebooks on the database and encode it (nnsearch.py:879-891).
 
@@ -82,14 +88,22 @@ def build_pq(
     v = jnp.asarray(vecs)
     if normalize:
         v = normalize_rows(v)
-    cb = pq_train(
-        v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample,
-        mesh=mesh,
-    )
+    if opq:
+        # learned orthogonal pre-rotation (Ge et al. CVPR'13) — beyond the
+        # reference's plain-PQ nanopq; one extra (D, D) matmul per batch
+        cb = opq_train(
+            v, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters, seed=seed,
+            train_sample=train_sample,
+        )
+    else:
+        cb = pq_train(
+            v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample,
+            mesh=mesh,
+        )
     codes = pq_encode(cb, v)
     if pack4:
         if Ks > 16:
             raise ValueError("pack4 requires Ks <= 16 (the Quick-ADC geometry)")
         codes = pq_pack4(codes)
     return PQIndex(codewords=cb.codewords, codes=codes, normalized=normalize,
-                   packed4=pack4)
+                   packed4=pack4, rotation=cb.rotation)

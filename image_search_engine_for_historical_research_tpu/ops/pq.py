@@ -20,9 +20,17 @@ from .kmeans import kmeans_fit, kmeans_fit_batched, kmeans_fit_sharded
 
 
 class PQCodebook(NamedTuple):
-    """Codewords ``(M, Ks, ds)`` for M subspaces of width ds = D // M."""
+    """Codewords ``(M, Ks, ds)`` for M subspaces of width ds = D // M.
+
+    ``rotation`` (optional, (D, D) orthogonal) makes this an OPQ codebook
+    (Ge et al., "Optimized Product Quantization", CVPR'13 — beyond the
+    reference, whose nanopq is plain PQ): vectors are rotated before
+    sub-quantization so per-subspace variance is balanced. Distances are
+    preserved (orthogonality), so encode/decode/dist-table apply/undo it
+    transparently and every consumer works unchanged."""
 
     codewords: jnp.ndarray
+    rotation: jnp.ndarray | None = None
 
     @property
     def M(self):
@@ -103,6 +111,50 @@ def pq_train(
     return PQCodebook(codewords=jnp.stack(centers))
 
 
+def opq_train(
+    vecs: jnp.ndarray,
+    M: int = 16,
+    Ks: int = 256,
+    iters: int = 20,
+    opq_iters: int = 10,
+    seed: int = 42,
+    train_sample: int | None = None,
+) -> PQCodebook:
+    """OPQ: alternate PQ fits with an orthogonal Procrustes rotation update
+    (Ge et al., CVPR'13, the non-parametric solution). Beyond the reference
+    (nanopq is plain PQ); improves every ADC consumer at the cost of one
+    (D, D) rotation matmul per encode/query batch.
+
+    Each round fits sub-codebooks on the rotated training rows, reconstructs
+    them, and sets ``R = U V^T`` from the SVD of ``X^T X̂`` — the orthogonal
+    transform minimizing ``||X R - X̂||_F``. Training runs on a row subsample
+    (faiss-style points-per-centroid budget) with short inner Lloyd runs;
+    the returned codebook carries the final full-``iters`` fit.
+    """
+    import numpy as np
+
+    v = jnp.asarray(vecs, jnp.float32)
+    N, D = v.shape
+    if D % M:
+        raise ValueError(f"dim {D} not divisible by M={M}")
+    ts = train_sample if train_sample is not None else min(N, max(16384, 32 * Ks))
+    if ts < N:
+        ridx = np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
+        x = v[jnp.asarray(ridx)]
+    else:
+        x = v
+    R = jnp.eye(D, dtype=jnp.float32)
+    inner = max(4, iters // 3)
+    for _ in range(opq_iters):
+        cb = pq_train(x @ R, M=M, Ks=Ks, iters=inner, seed=seed)
+        codes = pq_encode(cb, x @ R)
+        xhat = pq_decode(cb, codes)                     # rotated space
+        u, _, vt = jnp.linalg.svd(x.T @ xhat, full_matrices=False)
+        R = u @ vt
+    cb = pq_train(x @ R, M=M, Ks=Ks, iters=iters, seed=seed)
+    return PQCodebook(codewords=cb.codewords, rotation=R)
+
+
 @partial(jax.jit, static_argnames=("chunk", "matmul_dtype"))
 def pq_encode(
     codebook: PQCodebook,
@@ -135,6 +187,11 @@ def pq_encode(
     vc = v.reshape(-1, chunk, D)
 
     def one(xcb):
+        if codebook.rotation is not None:
+            xcb = jnp.einsum(
+                "nd,de->ne", xcb.astype(jnp.float32), codebook.rotation,
+                preferred_element_type=jnp.float32,
+            )
         sub = xcb.reshape(chunk, M, ds)
         if matmul_dtype is not None:
             sub = sub.astype(matmul_dtype)
@@ -150,12 +207,20 @@ def pq_encode(
 
 @jax.jit
 def pq_decode(codebook: PQCodebook, codes: jnp.ndarray) -> jnp.ndarray:
-    """Reconstruct (N, D) vectors from codes (nanopq ``decode``)."""
+    """Reconstruct (N, D) vectors from codes (nanopq ``decode``).
+
+    OPQ codebooks un-rotate, so output is always in the original space."""
     M, Ks, ds = codebook.codewords.shape
     out = jax.vmap(
         lambda c, ids: c[ids], in_axes=(0, 1), out_axes=1
     )(codebook.codewords, codes.astype(jnp.int32))        # (N, M, ds)
-    return out.reshape(codes.shape[0], M * ds)
+    out = out.reshape(codes.shape[0], M * ds)
+    if codebook.rotation is not None:
+        out = jnp.einsum(
+            "nd,ed->ne", out, codebook.rotation,
+            preferred_element_type=jnp.float32,
+        )
+    return out
 
 
 @jax.jit
@@ -167,6 +232,11 @@ def pq_dist_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
     """
     Q, D = queries.shape
     M, Ks, ds = codebook.codewords.shape
+    if codebook.rotation is not None:
+        queries = jnp.einsum(
+            "qd,de->qe", queries.astype(jnp.float32), codebook.rotation,
+            preferred_element_type=jnp.float32,
+        )
     qs = queries.reshape(Q, M, ds)
     dots = jnp.einsum(
         "qmd,mkd->qmk", qs, codebook.codewords, preferred_element_type=jnp.float32

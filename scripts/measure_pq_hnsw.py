@@ -39,6 +39,8 @@ def main():
     p.add_argument("--q", type=int, default=70)
     p.add_argument("--ks", type=int, default=2 ** 13)
     p.add_argument("--refine-m", type=int, default=16)
+    p.add_argument("--opq", action="store_true",
+                   help="learned orthogonal pre-rotation (OPQ) for both levels")
     p.add_argument("--refine-only", action="store_true",
                    help="skip the non-refine methods (faster sweeps)")
     args = p.parse_args()
@@ -51,12 +53,13 @@ def main():
 
     t0 = time.time()
     ix = build_hnsw_pq(
-        db, M=16, Ks=args.ks, m=16, normalize=False, refine_M=args.refine_m
+        db, M=16, Ks=args.ks, m=16, normalize=False, refine_M=args.refine_m,
+        opq=args.opq,
     )
     build_s = time.time() - t0
     print(json.dumps({
         "stage": "build", "N": args.n, "Ks": args.ks,
-        "refine_M": args.refine_m,
+        "refine_M": args.refine_m, "opq": bool(args.opq),
         "unique_codes": int(ix.unique_codes.shape[0]),
         "seconds": round(build_s, 1),
     }), flush=True)
