@@ -137,7 +137,14 @@ def opq_train(
     N, D = v.shape
     if D % M:
         raise ValueError(f"dim {D} not divisible by M={M}")
-    ts = train_sample if train_sample is not None else min(N, max(16384, 32 * Ks))
+    # rotation learning runs on a SMALLER sample than the codebook fit:
+    # R has D^2 parameters — 8 points/centroid suffice — and each OPQ round
+    # holds x, x@R and the reconstruction live; 32*Ks-row f32 copies at
+    # Ks=2^13/D=2048 (2 GB each) next to a resident 1M gallery OOM'd the
+    # 16 GB chip (measured)
+    ts = train_sample if train_sample is not None else min(
+        N, max(16384, 8 * Ks)
+    )
     if ts < N:
         ridx = np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
         x = v[jnp.asarray(ridx)]
@@ -146,12 +153,29 @@ def opq_train(
     R = jnp.eye(D, dtype=jnp.float32)
     inner = max(4, iters // 3)
     for _ in range(opq_iters):
-        cb = pq_train(x @ R, M=M, Ks=Ks, iters=inner, seed=seed)
-        codes = pq_encode(cb, x @ R)
-        xhat = pq_decode(cb, codes)                     # rotated space
+        xr = x @ R
+        cb = pq_train(xr, M=M, Ks=Ks, iters=inner, seed=seed)
+        xhat = pq_decode(cb, pq_encode(cb, xr))         # rotated space
+        del xr
         u, _, vt = jnp.linalg.svd(x.T @ xhat, full_matrices=False)
+        del xhat
         R = u @ vt
-    cb = pq_train(x @ R, M=M, Ks=Ks, iters=iters, seed=seed)
+    # final codebook on the standard points-per-centroid budget, rotated
+    # chunk-by-chunk so only one extra sample-sized f32 copy is ever live
+    fs = train_sample if train_sample is not None else min(
+        N, max(16384, 32 * Ks)
+    )
+    if fs <= ts:
+        xr = x @ R
+    else:
+        fidx = np.sort(np.random.RandomState(seed + 7).choice(N, fs, replace=False))
+        step = 131072
+        xr = jnp.concatenate([
+            v[jnp.asarray(fidx[s : s + step])] @ R
+            for s in range(0, fs, step)
+        ], axis=0)
+    del x
+    cb = pq_train(xr, M=M, Ks=Ks, iters=iters, seed=seed)
     return PQCodebook(codewords=cb.codewords, rotation=R)
 
 

@@ -188,7 +188,8 @@ def kr_rerank_chunked(
     k2: int = 6,
     lambda_value: float = 0.3,
     row_chunk: int = 8192,
-    set_chunk: int = 1024,
+    set_chunk: int = 2048,
+    jaccard_chunk: int = 4096,
     matmul_dtype=jnp.float32,
 ):
     """Chunked k-reciprocal re-rank: same semantics as ``kr_rerank_scores``
@@ -199,8 +200,11 @@ def kr_rerank_chunked(
 
     Structure: two chunked matmul passes (column max, then top-(k1+1) of the
     normalized distance), reciprocity tests on the (n, k1+1) rank table,
-    fixed-width padded expansion sets, sparse V of width (k1+1)(k1/2+2), and a
-    per-chunk query-expanded Jaccard against the dense (n, nq) query side.
+    fixed-width padded expansion sets, a sparse V of width (k1+1)(k1/2+2),
+    and a per-chunk query-expanded Jaccard against the dense (n, nq) query
+    side. Chunk sizes bound per-pass transients: the expansion pass gathers
+    (r, W, D) vectors (~2 GB at set_chunk=2048, D=2048), the Jaccard pass
+    holds (r, k2 W, nq) f32 (~1.7 GB at jaccard_chunk=4096, nq=70).
     Peak memory ~ n x (k1+1)(k1/2+2) x 8 bytes for V (~200 MB at 100k) plus
     per-chunk transients. Ranks (Q, N) ascending, identical to the dense path
     (parity-tested).
@@ -271,10 +275,13 @@ def kr_rerank_chunked(
     ).T                                                # (n, nq)
 
     # per-chunk Jaccard of every row's qe'd sparse V against the query side
+    # (a larger chunk than the expansion pass: its transient is (r, k2*W, nq)
+    # f32 — and on the tunneled chip each python-loop chunk pays a ~33 ms
+    # dispatch round-trip, so fewer/bigger chunks win)
     jacc_parts = []
-    for lo in range(0, n, set_chunk):
-        hi = min(n, lo + set_chunk)
-        pad = set_chunk - (hi - lo)
+    for lo in range(0, n, jaccard_chunk):
+        hi = min(n, lo + jaccard_chunk)
+        pad = jaccard_chunk - (hi - lo)
         nbr_c = rank[lo:hi, :k2]
         if pad:
             nbr_c = jnp.concatenate([nbr_c, nbr_c[:1].repeat(pad, 0)])

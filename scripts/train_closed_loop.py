@@ -53,6 +53,10 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--nnum", type=int, default=3)
     p.add_argument("--root", default=None, help="data/run dir (default: temp)")
+    p.add_argument("--compute-dtype", default=None,
+                   help="backbone compute dtype, e.g. bfloat16 (f32 head/loss)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize bottleneck activations in the backward")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke tests; the env var "
                         "alone is ignored under the pinned axon platform)")
@@ -97,6 +101,8 @@ def main():
         checkpoint_dir=os.path.join(root, "run"),
         test_freq=1,
         seed=0,
+        compute_dtype=args.compute_dtype,
+        remat=args.remat,
     )
     trainer = Trainer(model, dataset, cfg, eval_fn=eval_fn)
 
