@@ -59,6 +59,9 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="python list of scales (reference flag format)")
     parser.add_argument("--matching-method", default="L2",
                         help="L2 | PQ | ANNOY | HNSW | PQ_HNSW | IVFPQ | LSH")
+    parser.add_argument("--opq", action="store_true",
+                        help="learned orthogonal pre-rotation for PQ-family "
+                             "indexes (OPQ, Ge et al. CVPR'13)")
     parser.add_argument("--ifgenerate", action="store_true",
                         help="(re)build index artifacts instead of loading")
     parser.add_argument("--outputs", default="outputs")

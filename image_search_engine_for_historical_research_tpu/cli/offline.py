@@ -77,11 +77,14 @@ def main(argv=None):
 def _matcher_kwargs(args, name):
     if args.matching_method in ("L2", "L2_int8", "fractional", "LSH", "Greedyhash"):
         return {}
-    return {
+    kw = {
         "dataset": name,
         "ifgenerate": args.ifgenerate,
         "outputs": args.outputs,
     }
+    if args.matching_method in ("PQ", "Nano_PQ", "PQ_HNSW", "HNSW_NanoPQ"):
+        kw["opq"] = getattr(args, "opq", False)
+    return kw
 
 
 if __name__ == "__main__":

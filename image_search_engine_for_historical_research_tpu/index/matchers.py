@@ -136,7 +136,7 @@ def _clamp_ks(Ks, n_rows):
 
 def matching_Nano_PQ(
     K, train, test, dataset, N_books=16, n_bits_perbook=13,
-    ifgenerate=True, outputs="outputs", warmup=True,
+    ifgenerate=True, outputs="outputs", warmup=True, opq=False,
 ):
     """PQ + asymmetric-distance scan (nnsearch.py:847-901).
 
@@ -148,7 +148,8 @@ def matching_Nano_PQ(
     index = _build_or_load(
         path, ifgenerate,
         lambda: build_pq(
-            rows, M=N_books, Ks=_clamp_ks(2 ** n_bits_perbook, rows.shape[0])
+            rows, M=N_books, Ks=_clamp_ks(2 ** n_bits_perbook, rows.shape[0]),
+            opq=opq,
         ),
     )
     return _timed_search(index, q, min(K, index.n), warmup)
@@ -187,7 +188,7 @@ def matching_HNSW(
 
 def matching_HNSW_NanoPQ(
     K, train, test, dataset, N_books=16, N_words=2 ** 13, m=16, ef=100,
-    ifgenerate=True, outputs="outputs", warmup=True,
+    ifgenerate=True, outputs="outputs", warmup=True, opq=False,
 ):
     """PQ-encode + dedupe + HNSW over unique codes (nnsearch.py:585-683).
 
@@ -200,7 +201,7 @@ def matching_HNSW_NanoPQ(
         path, ifgenerate,
         lambda: build_hnsw_pq(
             rows, M=N_books, Ks=_clamp_ks(N_words, rows.shape[0]),
-            m=m, ef_construction=ef,
+            m=m, ef_construction=ef, opq=opq,
         ),
     )
     return _timed_search(index, q, min(K, index.n), warmup)

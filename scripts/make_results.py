@@ -162,12 +162,16 @@ def main():
                 run_ref(nn.matching_fractional_dis, K, gal.copy(), q.copy()))
     add_matcher("LSH (512-bit)", run_ours("LSH"), None,
                 "reference uses faiss IndexLSH (GPU lib, not runnable here)")
-    nb = 13  # driver operating point (offline.py:109), clamped to N like ours
+    # Ks=2^8 for BOTH stacks here: the reference's scipy kmeans2 at its
+    # driver point Ks=2^13 takes hours on this host CPU at 10k rows; the
+    # 2^13 operating point is measured at 1M on TPU in BASELINE.md
+    nb = 8
     while 2 ** nb > N:
         nb -= 1
     add_matcher(
         f"PQ / Nano_PQ (M=16, Ks=2^{nb})",
-        run_ours("PQ", dataset="synth", outputs=args.workdir + "/ours"),
+        run_ours("PQ", dataset="synth", outputs=args.workdir + "/ours",
+                 n_bits_perbook=nb),
         run_ref(nn.matching_Nano_PQ, K, gal.copy(), q.copy(), "synth",
                 N_books=16, n_bits_perbook=nb),
     )
