@@ -160,21 +160,29 @@ def opq_train(
         u, _, vt = jnp.linalg.svd(x.T @ xhat, full_matrices=False)
         del xhat
         R = u @ vt
-    # final codebook on the standard points-per-centroid budget, rotated
-    # chunk-by-chunk so only one extra sample-sized f32 copy is ever live
+    # final codebook on a reduced points-per-centroid budget (16/centroid:
+    # half the plain-PQ default — the OPQ phase must leave headroom for the
+    # caller's resident gallery + the downstream graph build on 16 GB; the
+    # rotation already concentrated per-subspace variance so the fit
+    # converges with fewer points), rotated chunk-by-chunk with each piece
+    # freed deterministically
     fs = train_sample if train_sample is not None else min(
-        N, max(16384, 32 * Ks)
+        N, max(16384, 16 * Ks)
     )
     if fs <= ts:
         xr = x @ R
+        del x
     else:
+        del x
         fidx = np.sort(np.random.RandomState(seed + 7).choice(N, fs, replace=False))
-        step = 131072
-        xr = jnp.concatenate([
-            v[jnp.asarray(fidx[s : s + step])] @ R
-            for s in range(0, fs, step)
-        ], axis=0)
-    del x
+        step = 65536
+        parts = []
+        for s in range(0, fs, step):
+            chunk = v[jnp.asarray(fidx[s : s + step])] @ R
+            chunk.block_until_ready()
+            parts.append(chunk)
+        xr = jnp.concatenate(parts, axis=0)
+        del parts
     cb = pq_train(xr, M=M, Ks=Ks, iters=iters, seed=seed)
     return PQCodebook(codewords=cb.codewords, rotation=R)
 
