@@ -510,7 +510,15 @@ def build_hnsw_pq(
     residuals ``x - decode(code)`` and stores per-image residual codes
     (``refine_M`` bytes each) — the two-level code the ``*+refine`` search
     methods reconstruct from. Set 0 to skip (halves index bytes, caps
-    recall@100 at the coarse-ADC ceiling)."""
+    recall@100 at the coarse-ADC ceiling).
+
+    ``vecs`` may be passed as a ONE-ELEMENT LIST to donate the gallery: the
+    builder then owns the only reference and frees the 8 GB (at 1M x 2048)
+    device buffer before materializing the decoded graph vectors — without
+    donation the graph stage holds gallery + decoded (12 GB) and the OPQ
+    path's extra transient churn tips a 16 GB chip over (measured)."""
+    if isinstance(vecs, list):
+        vecs = vecs.pop()  # empty the caller's holder: transfer ownership
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
         v = normalize_rows(v)
@@ -589,7 +597,9 @@ def build_hnsw_pq(
         builder = "tpu" if U > 32_768 else "native"
     codewords = cb.codewords
     rotation = cb.rotation
-    del v, cb  # free the 8 GB device gallery before materializing decodes
+    # free the 8 GB device gallery before materializing decodes (releases
+    # the caller's buffer too under list-donation, see docstring)
+    del v, vecs, cb
     if builder == "tpu":
         from .graph_build import build_hnsw_graph_tpu
 

@@ -47,16 +47,24 @@ def main():
 
     db = clustered_db(jax.random.PRNGKey(1), args.n, 2048)
     np.asarray(db[:1, :1])
-    queries = db[: args.q]
+    queries = db[: args.q]  # fresh buffer (jnp slicing copies)
     _, i_ex = exact_topk(queries, db, 100, matmul_dtype=jnp.bfloat16)
     i_ex = np.asarray(i_ex)
 
+    # donate the gallery to the builder (one-element list): it frees the
+    # 8 GB buffer before the graph stage — the OPQ path OOMs otherwise.
+    # clustered_db is deterministic, so the rerank config regenerates it.
+    holder = [db]
+    del db
     t0 = time.time()
     ix = build_hnsw_pq(
-        db, M=16, Ks=args.ks, m=16, normalize=False, refine_M=args.refine_m,
-        opq=args.opq,
+        holder, M=16, Ks=args.ks, m=16, normalize=False,
+        refine_M=args.refine_m, opq=args.opq,
     )
+    del holder
     build_s = time.time() - t0
+    db = clustered_db(jax.random.PRNGKey(1), args.n, 2048)
+    np.asarray(db[:1, :1])
     print(json.dumps({
         "stage": "build", "N": args.n, "Ks": args.ks,
         "refine_M": args.refine_m, "opq": bool(args.opq),
