@@ -82,7 +82,7 @@ def _matcher_kwargs(args, name):
         "ifgenerate": args.ifgenerate,
         "outputs": args.outputs,
     }
-    if args.matching_method in ("PQ", "Nano_PQ", "PQ_HNSW", "HNSW_NanoPQ"):
+    if args.matching_method in ("PQ", "Nano_PQ", "PQ_HNSW", "HNSW_NanoPQ", "IVFPQ"):
         kw["opq"] = getattr(args, "opq", False)
     return kw
 

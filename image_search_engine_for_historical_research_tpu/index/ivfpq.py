@@ -49,6 +49,7 @@ def _ivfpq_search(
     offsets,         # (nlist,) int32 start of each list
     lens,            # (nlist,) int32 true list lengths
     queries,         # (Q, D)
+    rotation,        # None, or (D, D) orthogonal OPQ pre-rotation of residuals
     k: int,
     nprobe: int,
     seg: int,
@@ -70,7 +71,12 @@ def _ivfpq_search(
         q, probe_q = inp
         # residual LUTs for all probed lists: (nprobe, M, Ks)
         centers_q = coarse_centers[probe_q]
-        resid = (q[None, :] - centers_q).reshape(nprobe, M, ds)
+        resid = q[None, :] - centers_q
+        if rotation is not None:
+            # codes quantize ROTATED residuals; orthogonality preserves the
+            # distances the LUT accumulates
+            resid = resid @ rotation
+        resid = resid.reshape(nprobe, M, ds)
         lut = (
             jnp.sum(resid.astype(jnp.float32) ** 2, axis=2)[:, :, None]
             - 2.0 * jnp.einsum(
@@ -128,6 +134,7 @@ class IVFPQIndex:
     seg: int                      # per-probe scan window
     nprobe: int = 64
     normalized: bool = True
+    rotation: jnp.ndarray = None  # optional (D, D) OPQ residual pre-rotation
 
     @property
     def n(self) -> int:
@@ -140,21 +147,24 @@ class IVFPQIndex:
         k = min(k, self.n)
         return _ivfpq_search(
             self.coarse_centers, self.codewords, self.flat_codes, self.flat_ids,
-            self.offsets, self.lens, q, k,
+            self.offsets, self.lens, q, self.rotation, k,
             min(nprobe or self.nprobe, self.coarse_centers.shape[0]), self.seg,
         )
 
     def to_arrays(self):
+        arrays = {
+            "coarse_centers": np.asarray(self.coarse_centers, np.float32),
+            "codewords": np.asarray(self.codewords, np.float32),
+            "flat_codes": np.asarray(self.flat_codes),
+            "flat_ids": np.asarray(self.flat_ids, np.int32),
+            "offsets": np.asarray(self.offsets, np.int32),
+            "lens": np.asarray(self.lens, np.int32),
+        }
+        if self.rotation is not None:
+            arrays["rotation"] = np.asarray(self.rotation, np.float32)
         return (
             {"nprobe": self.nprobe, "normalized": self.normalized, "seg": self.seg},
-            {
-                "coarse_centers": np.asarray(self.coarse_centers, np.float32),
-                "codewords": np.asarray(self.codewords, np.float32),
-                "flat_codes": np.asarray(self.flat_codes),
-                "flat_ids": np.asarray(self.flat_ids, np.int32),
-                "offsets": np.asarray(self.offsets, np.int32),
-                "lens": np.asarray(self.lens, np.int32),
-            },
+            arrays,
         )
 
     @classmethod
@@ -169,6 +179,9 @@ class IVFPQIndex:
             seg=int(meta["seg"]),
             nprobe=int(meta["nprobe"]),
             normalized=bool(meta.get("normalized", True)),
+            rotation=(
+                jnp.asarray(arrays["rotation"]) if "rotation" in arrays else None
+            ),
         )
 
 
@@ -184,6 +197,8 @@ def build_ivfpq(
     normalize: bool = True,
     seg: int = None,
     mesh=None,
+    opq: bool = False,
+    opq_iters: int = 10,
 ) -> IVFPQIndex:
     """Train coarse + residual-PQ quantizers and pack flat inverted lists.
 
@@ -193,6 +208,11 @@ def build_ivfpq(
     (coarse quantizer + residual PQ) run data-sharded over the device mesh
     (one psum of centroid sums/counts per Lloyd iteration — the same scheme
     as the sharded graph/PQ/diffusion builds, tests/test_parallel.py).
+
+    ``opq``: learn an orthogonal pre-rotation of the RESIDUALS (faiss's
+    OPQMatrix-before-IVFPQ arrangement; the coarse quantizer itself gains
+    nothing from a rotation — assignments are rotation-covariant — so only
+    the residual codes quantize rotated vectors).
     """
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
@@ -220,8 +240,16 @@ def build_ivfpq(
     # train the residual PQ on the sample only (faiss semantics)
     c2 = jnp.sum(coarse_centers**2, axis=1)
     s_assign = jnp.argmin(c2[None, :] - 2.0 * (sample @ coarse_centers.T), axis=1)
-    cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters,
-                  seed=seed, mesh=mesh)
+    if opq:
+        from ..ops.pq import opq_train
+
+        cb = opq_train(
+            sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters,
+            opq_iters=opq_iters, seed=seed,
+        )
+    else:
+        cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters,
+                      seed=seed, mesh=mesh)
 
     # assign + residual-encode the full database in row chunks (a full (N, D)
     # residual copy alone is 8 GB at 1M x 2048 — OOM next to the db)
@@ -261,4 +289,5 @@ def build_ivfpq(
         seg=int(seg),
         nprobe=min(nprobe, nlist),
         normalized=normalize,
+        rotation=cb.rotation,
     )

@@ -359,3 +359,44 @@ class TestOPQ:
         s1, i1 = opq.search(q, 10)
         s2, i2 = loaded.search(q, 10)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    def test_opq_ivfpq_beats_plain_and_roundtrips(self, tmp_path):
+        """OPQ residual rotation for IVF-PQ (faiss OPQMatrix arrangement):
+        recall on anisotropic data must not regress (the rotation balances
+        per-subspace residual variance) and the rotated index must persist."""
+        from image_search_engine_for_historical_research_tpu.index import (
+            build_flat,
+            build_ivfpq,
+        )
+        from image_search_engine_for_historical_research_tpu.index.base import (
+            load_index,
+            save_index,
+        )
+
+        x, q = self._aniso(seed=5)
+        _, exact = build_flat(x).search(q, 10)
+        exact = np.asarray(exact)
+
+        def recall(ix):
+            _, idx = ix.search(q, 10)
+            idx = np.asarray(idx)
+            return np.mean(
+                [len(set(exact[i]) & set(idx[i])) / 10 for i in range(len(q))]
+            )
+
+        kw = dict(nlist=16, M=8, Ks=32, nprobe=8)
+        r_pq = recall(build_ivfpq(x, **kw))
+        opq = build_ivfpq(x, opq=True, opq_iters=6, **kw)
+        r_opq = recall(opq)
+        assert r_opq >= r_pq + 0.02, (r_pq, r_opq)
+
+        R = np.asarray(opq.rotation)
+        np.testing.assert_allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-5)
+
+        d = str(tmp_path / "ivfpq_opq")
+        save_index(opq, d)
+        loaded = load_index(d)
+        assert loaded.rotation is not None
+        _, i1 = opq.search(q, 10)
+        _, i2 = loaded.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
