@@ -84,101 +84,176 @@ def kr_rerank_scores(
     return final[:, nq:]                                # (Q, N)
 
 
-@partial(jax.jit, donate_argnums=(1,))
-def _colmax_chunk(rows, colmax, fb):
-    """Running per-column max of d = 2 - 2 f f^T over a row chunk."""
-    d = 2.0 - 2.0 * jnp.einsum(
-        "rd,nd->rn", rows, fb, preferred_element_type=jnp.float32
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nq", "k1", "k2", "row_chunk", "set_chunk", "jaccard_chunk",
+        "matmul_dtype",
+    ),
+)
+def _kr_chunked_program(
+    feat,
+    lambda_value,
+    nq: int,
+    k1: int,
+    k2: int,
+    row_chunk: int,
+    set_chunk: int,
+    jaccard_chunk: int,
+    matmul_dtype,
+):
+    """The whole chunked re-rank as ONE jitted program: every chunk loop is a
+    ``lax.scan``, so the tunneled chip pays one dispatch instead of one per
+    chunk (~100 x 33 ms at 100k — round 3's host loop spent a third of its
+    wall time on dispatch round-trips). ``feat`` is passed as an argument,
+    never closed over (CLAUDE.md: captured arrays upload with the compile
+    payload)."""
+    n, D = feat.shape
+    fb = feat.astype(matmul_dtype)
+    K = k1 + 1
+    Kh = int(round(k1 / 2)) + 1
+
+    def chunked(x, c):
+        """Pad with row 0 to a multiple of c and stack into (C, c, ...) scan
+        xs (padded tail rows are computed then sliced off)."""
+        pad = (-x.shape[0]) % c
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])], axis=0
+            )
+        return x.reshape((-1, c) + x.shape[1:])
+
+    fbc = chunked(fb, row_chunk)
+
+    # pass A: column max of the raw distance (normalizer, Reranking.py:503);
+    # duplicate pad rows cannot change a max
+    def colmax_step(cm, rows):
+        d = 2.0 - 2.0 * jnp.einsum(
+            "rd,nd->rn", rows, fb, preferred_element_type=jnp.float32
+        )
+        return jnp.maximum(cm, jnp.max(d, axis=0)), None
+
+    colmax, _ = jax.lax.scan(
+        colmax_step, jnp.full((n,), -jnp.inf, jnp.float32), fbc
     )
-    return jnp.maximum(colmax, jnp.max(d, axis=0))
 
+    # pass B: top-(k1+1) of the normalized distance
+    def topk_step(_, rows):
+        d = 2.0 - 2.0 * jnp.einsum(
+            "rd,nd->rn", rows, fb, preferred_element_type=jnp.float32
+        )
+        d = d / jnp.clip(colmax, min=1e-12)[None, :]
+        _, idx = jax.lax.top_k(-d, K)
+        return None, idx.astype(jnp.int32)
 
-@partial(jax.jit, static_argnames=("K",))
-def _topk_chunk(rows, fb, colmax, K: int):
-    """Top-(k1+1) nearest columns of the column-normalized distance."""
-    d = 2.0 - 2.0 * jnp.einsum(
-        "rd,nd->rn", rows, fb, preferred_element_type=jnp.float32
+    _, rank_c = jax.lax.scan(topk_step, None, fbc)
+    rank = rank_c.reshape(-1, K)[:n]                   # (n, K)
+    rank_h = rank[:, :Kh]
+
+    # reciprocity masks: i in top(j) for each candidate j = rank[i, l]
+    iexp = jnp.arange(n, dtype=jnp.int32)[:, None, None]
+    recip = jnp.any(rank[rank] == iexp, axis=2)        # (n, K)
+    recip_h = jnp.any(rank_h[rank_h] == iexp, axis=2)  # (n, Kh)
+    size_h = jnp.sum(recip_h, axis=1).astype(jnp.float32)
+
+    # expansion + weights (Reranking.py:525-538): candidate j in R(i)
+    # contributes R_half(j) when |R_half(j) & R(i)| > 2/3 |R_half(j)|. Sets
+    # are fixed-width padded index rows (pad sentinel = n); duplicates in the
+    # union keep their first (sorted) slot, like the dense boolean OR. The
+    # scan chunk bounds the (r, K, Kh, K) membership test and the (r, W, D)
+    # vector gather (~4 GB at set_chunk=2048, D=2048, W=(k1+1)(k1/2+2)).
+    def expand_step(_, xs):
+        rank_cc, recip_cc, rows = xs
+        r = rank_cc.shape[0]
+        j = jnp.clip(rank_cc, 0, n - 1)               # (r, K)
+        Rh_idx = rank_h[j]                            # (r, K, Kh)
+        Rh_m = recip_h[j]                             # (r, K, Kh)
+        Ri = jnp.where(recip_cc, rank_cc, -1)         # (r, K)
+        in_R = jnp.any(
+            Rh_idx[..., None] == Ri[:, None, None, :], axis=3
+        ) & Rh_m                                      # (r, K, Kh)
+        overlap = jnp.sum(in_R, axis=2)               # (r, K)
+        grow = recip_cc & (overlap > (2.0 / 3.0) * size_h[j])
+        add_idx = jnp.where(grow[..., None] & Rh_m, Rh_idx, n).reshape(
+            r, K * Kh
+        )
+        base_idx = jnp.where(recip_cc, rank_cc, n)
+        s = jnp.sort(jnp.concatenate([base_idx, add_idx], axis=1), axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((r, 1), bool), s[:, 1:] == s[:, :-1]], axis=1
+        )
+        valid = (s < n) & ~dup
+        sc = jnp.clip(s, 0, n - 1)
+        dot = jnp.einsum(
+            "rd,rwd->rw", rows, fb[sc], preferred_element_type=jnp.float32
+        )
+        dval = (2.0 - 2.0 * dot) / jnp.clip(colmax[sc], min=1e-12)
+        w = jnp.where(valid, jnp.exp(-dval), 0.0)
+        vv = w / jnp.clip(jnp.sum(w, axis=1, keepdims=True), min=1e-12)
+        return None, (jnp.where(valid, sc, 0), jnp.where(valid, vv, 0.0))
+
+    _, (vi, vv) = jax.lax.scan(
+        expand_step, None,
+        (chunked(rank, set_chunk), chunked(recip, set_chunk),
+         chunked(fb, set_chunk)),
     )
-    d = d / jnp.clip(colmax, min=1e-12)[None, :]
-    _, idx = jax.lax.top_k(-d, K)
-    return idx.astype(jnp.int32)
+    W = K * (Kh + 1)
+    vidx = vi.reshape(-1, W)[:n]                       # (n, W)
+    vval = vv.reshape(-1, W)[:n]
 
+    # dense query side of the qe'd V: (nq, n) scatter-add of k2 sparse rows
+    nbq = rank[:nq, :k2]
+    gi = vidx[nbq].reshape(nq, -1)
+    gv = (vval[nbq] / k2).reshape(nq, -1)
+    vqT = (
+        jnp.zeros((nq, n), jnp.float32)
+        .at[jnp.arange(nq)[:, None], gi]
+        .add(gv)
+    ).T                                                # (n, nq)
 
-@jax.jit
-def _expand_weigh_chunk(rank_c, recip_c, rows, rank, rank_h, recip_h, size_h,
-                        fb, colmax):
-    """Reciprocal-set expansion + exp(-d) weights for one row chunk.
+    # query-expanded sparse rows -> Jaccard vs the dense query side: each
+    # row's k2 nearest sparse V rows are concatenated (the qe mean sums
+    # duplicate columns), segment-summed by column id via a sorted cumsum,
+    # then min-summed against vqT. Chunk bounds the (r, k2 W, nq) transient
+    # (~1.7 GB at jaccard_chunk=4096, nq=70).
+    def jacc_step(_, nbr_cc):
+        r = nbr_cc.shape[0]
+        gi2 = vidx[nbr_cc].reshape(r, -1)             # (r, k2*W)
+        gv2 = (vval[nbr_cc] / k2).reshape(r, -1)
+        order = jnp.argsort(gi2, axis=1)
+        si = jnp.take_along_axis(gi2, order, axis=1)
+        sv = jnp.take_along_axis(gv2, order, axis=1)
+        cs = jnp.cumsum(sv, axis=1)
+        L = si.shape[1]
+        last = jnp.concatenate(
+            [si[:, :-1] != si[:, 1:], jnp.ones((r, 1), bool)], axis=1
+        )
+        first = jnp.concatenate(
+            [jnp.ones((r, 1), bool), si[:, 1:] != si[:, :-1]], axis=1
+        )
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        start = jax.lax.cummax(jnp.where(first, pos, -1), axis=1)
+        base = jnp.where(
+            start > 0,
+            jnp.take_along_axis(cs, jnp.clip(start - 1, 0), axis=1),
+            0.0,
+        )
+        sval = jnp.where(last, cs - base, 0.0)        # summed value at group end
+        vq = vqT[si]                                  # (r, L, nq)
+        minsum = jnp.sum(jnp.minimum(sval[..., None], vq), axis=1)
+        return None, 1.0 - minsum / (2.0 - minsum)
 
-    Mirrors the dense formulation above (and Reranking.py:525-538): candidate
-    j in R(i) contributes R_half(j) when |R_half(j) & R(i)| > 2/3 |R_half(j)|.
-    Sets are fixed-width padded index rows (pad sentinel = n); duplicates in
-    the union keep their first (sorted) slot, like the dense boolean OR.
-    Returns the sparse V chunk: (r, W) int32 indices + row-normalized f32
-    weights, W = (k1+1)(1 + k1/2+1).
-    """
-    n = rank.shape[0]
-    r, K = rank_c.shape
-    Kh = rank_h.shape[1]
-    j = jnp.clip(rank_c, 0, n - 1)                    # (r, K)
-    Rh_idx = rank_h[j]                                # (r, K, Kh)
-    Rh_m = recip_h[j]                                 # (r, K, Kh)
-    Ri = jnp.where(recip_c, rank_c, -1)               # (r, K)
-    in_R = jnp.any(
-        Rh_idx[..., None] == Ri[:, None, None, :], axis=3
-    ) & Rh_m                                          # (r, K, Kh)
-    overlap = jnp.sum(in_R, axis=2)                   # (r, K)
-    grow = recip_c & (overlap > (2.0 / 3.0) * size_h[j])
-    add_idx = jnp.where(grow[..., None] & Rh_m, Rh_idx, n).reshape(r, K * Kh)
-    base_idx = jnp.where(recip_c, rank_c, n)
-    s = jnp.sort(jnp.concatenate([base_idx, add_idx], axis=1), axis=1)  # (r, W)
-    dup = jnp.concatenate(
-        [jnp.zeros((r, 1), bool), s[:, 1:] == s[:, :-1]], axis=1
+    _, jacc_c = jax.lax.scan(
+        jacc_step, None, chunked(rank[:, :k2], jaccard_chunk)
     )
-    valid = (s < n) & ~dup
-    sc = jnp.clip(s, 0, n - 1)
-    dot = jnp.einsum(
-        "rd,rwd->rw", rows, fb[sc], preferred_element_type=jnp.float32
-    )
-    dval = (2.0 - 2.0 * dot) / jnp.clip(colmax[sc], min=1e-12)
-    w = jnp.where(valid, jnp.exp(-dval), 0.0)
-    vval = w / jnp.clip(jnp.sum(w, axis=1, keepdims=True), min=1e-12)
-    return jnp.where(valid, sc, 0), jnp.where(valid, vval, 0.0)
+    jacc = jacc_c.reshape(-1, nq)[:n]                  # (n, nq)
 
-
-@jax.jit
-def _jaccard_chunk(nbr_c, vidx, vval, vqT):
-    """Query-expanded sparse rows -> Jaccard distance vs the dense query side.
-
-    ``nbr_c``: (r, k2) nearest rows of each chunk row; their sparse V rows are
-    concatenated (the qe mean sums duplicate columns), segment-summed by
-    column id via a sorted cumsum, then min-summed against ``vqT`` (n, nq).
-    """
-    k2 = nbr_c.shape[1]
-    r = nbr_c.shape[0]
-    gi = vidx[nbr_c].reshape(r, -1)                   # (r, k2*W)
-    gv = (vval[nbr_c] / k2).reshape(r, -1)
-    order = jnp.argsort(gi, axis=1)
-    si = jnp.take_along_axis(gi, order, axis=1)
-    sv = jnp.take_along_axis(gv, order, axis=1)
-    cs = jnp.cumsum(sv, axis=1)
-    L = si.shape[1]
-    last = jnp.concatenate(
-        [si[:, :-1] != si[:, 1:], jnp.ones((r, 1), bool)], axis=1
+    dq = 2.0 - 2.0 * jnp.einsum(
+        "qd,nd->qn", fb[:nq], fb, preferred_element_type=jnp.float32
     )
-    first = jnp.concatenate(
-        [jnp.ones((r, 1), bool), si[:, 1:] != si[:, :-1]], axis=1
-    )
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-    start = jax.lax.cummax(jnp.where(first, pos, -1), axis=1)
-    base = jnp.where(
-        start > 0,
-        jnp.take_along_axis(cs, jnp.clip(start - 1, 0), axis=1),
-        0.0,
-    )
-    sval = jnp.where(last, cs - base, 0.0)            # summed value at group end
-    vq = vqT[si]                                      # (r, L, nq)
-    minsum = jnp.sum(jnp.minimum(sval[..., None], vq), axis=1)  # (r, nq)
-    return 1.0 - minsum / (2.0 - minsum)
+    dq = dq / jnp.clip(colmax, min=1e-12)[None, :]
+    final = jacc.T * (1.0 - lambda_value) + dq * lambda_value
+    return jnp.argsort(final[:, nq:], axis=1)
 
 
 def kr_rerank_chunked(
@@ -198,102 +273,29 @@ def kr_rerank_chunked(
     ``batch_torch_topk``/``batch_v`` stream 6000-row blocks and never hold the
     full Jaccard; its dense ``V`` is the one O(n^2) buffer we also eliminate).
 
-    Structure: two chunked matmul passes (column max, then top-(k1+1) of the
+    Structure: two scanned matmul passes (column max, then top-(k1+1) of the
     normalized distance), reciprocity tests on the (n, k1+1) rank table,
     fixed-width padded expansion sets, a sparse V of width (k1+1)(k1/2+2),
-    and a per-chunk query-expanded Jaccard against the dense (n, nq) query
-    side. Chunk sizes bound per-pass transients: the expansion pass gathers
-    (r, W, D) vectors (~2 GB at set_chunk=2048, D=2048), the Jaccard pass
-    holds (r, k2 W, nq) f32 (~1.7 GB at jaccard_chunk=4096, nq=70).
-    Peak memory ~ n x (k1+1)(k1/2+2) x 8 bytes for V (~200 MB at 100k) plus
-    per-chunk transients. Ranks (Q, N) ascending, identical to the dense path
-    (parity-tested).
-    """
+    and a scanned query-expanded Jaccard against the dense (n, nq) query
+    side — all inside ONE jitted program (``_kr_chunked_program``), so the
+    whole re-rank is a single device dispatch. Peak memory ~ n x W x 8 bytes
+    for the sparse V (~200 MB at 100k) plus per-scan-step transients bounded
+    by the chunk sizes. Ranks (Q, N) ascending, identical to the dense path
+    (parity-tested)."""
     qn = l2n(jnp.asarray(qvecs, jnp.float32))
     gn = l2n(jnp.asarray(vecs, jnp.float32))
-    nq = int(qn.shape[0])
     feat = jnp.concatenate([qn, gn], axis=0)
-    n = int(feat.shape[0])
-    fb = feat.astype(matmul_dtype)
-    K = k1 + 1
-    Kh = int(round(k1 / 2)) + 1
-
-    def padded_rows(lo, size):
-        rows = fb[lo : lo + size]
-        if rows.shape[0] < size:  # pad final chunk with row 0 (results sliced off)
-            rows = jnp.concatenate(
-                [rows, jnp.broadcast_to(fb[:1], (size - rows.shape[0], fb.shape[1]))]
-            )
-        return rows
-
-    # pass A: column max of the raw distance (normalizer, Reranking.py:503)
-    colmax = jnp.full((n,), -jnp.inf, jnp.float32)
-    for lo in range(0, n, row_chunk):
-        colmax = _colmax_chunk(padded_rows(lo, row_chunk), colmax, fb)
-
-    # pass B: top-(k1+1) of the normalized distance
-    parts = []
-    for lo in range(0, n, row_chunk):
-        parts.append(_topk_chunk(padded_rows(lo, row_chunk), fb, colmax, K))
-    rank = jnp.concatenate(parts, axis=0)[:n]          # (n, K)
-    del parts
-    rank_h = rank[:, :Kh]
-
-    # reciprocity masks: i in top(j) for each candidate j = rank[i, l]
-    iexp = jnp.arange(n, dtype=jnp.int32)[:, None, None]
-    recip = jnp.any(rank[rank] == iexp, axis=2)        # (n, K)
-    recip_h = jnp.any(rank_h[rank_h] == iexp, axis=2)  # (n, Kh)
-    size_h = jnp.sum(recip_h, axis=1).astype(jnp.float32)
-
-    # expansion + weights, chunked (the (r, K, Kh, K) membership test bounds r)
-    vi_parts, vv_parts = [], []
-    for lo in range(0, n, set_chunk):
-        hi = min(n, lo + set_chunk)
-        pad = set_chunk - (hi - lo)
-        rank_c = jnp.concatenate([rank[lo:hi], rank[:1].repeat(pad, 0)]) if pad \
-            else rank[lo:hi]
-        recip_c = jnp.concatenate([recip[lo:hi], recip[:1].repeat(pad, 0)]) if pad \
-            else recip[lo:hi]
-        vi, vv = _expand_weigh_chunk(
-            rank_c, recip_c, padded_rows(lo, set_chunk), rank, rank_h,
-            recip_h, size_h, fb, colmax,
-        )
-        vi_parts.append(vi)
-        vv_parts.append(vv)
-    vidx = jnp.concatenate(vi_parts, axis=0)[:n]       # (n, W)
-    vval = jnp.concatenate(vv_parts, axis=0)[:n]
-    del vi_parts, vv_parts
-
-    # dense query side of the qe'd V: (nq, n) scatter-add of k2 sparse rows
-    nbq = rank[:nq, :k2]
-    gi = vidx[nbq].reshape(nq, -1)
-    gv = (vval[nbq] / k2).reshape(nq, -1)
-    vqT = (
-        jnp.zeros((nq, n), jnp.float32)
-        .at[jnp.arange(nq)[:, None], gi]
-        .add(gv)
-    ).T                                                # (n, nq)
-
-    # per-chunk Jaccard of every row's qe'd sparse V against the query side
-    # (a larger chunk than the expansion pass: its transient is (r, k2*W, nq)
-    # f32 — and on the tunneled chip each python-loop chunk pays a ~33 ms
-    # dispatch round-trip, so fewer/bigger chunks win)
-    jacc_parts = []
-    for lo in range(0, n, jaccard_chunk):
-        hi = min(n, lo + jaccard_chunk)
-        pad = jaccard_chunk - (hi - lo)
-        nbr_c = rank[lo:hi, :k2]
-        if pad:
-            nbr_c = jnp.concatenate([nbr_c, nbr_c[:1].repeat(pad, 0)])
-        jacc_parts.append(_jaccard_chunk(nbr_c, vidx, vval, vqT))
-    jacc = jnp.concatenate(jacc_parts, axis=0)[:n]     # (n, nq)
-
-    dq = 2.0 - 2.0 * jnp.einsum(
-        "qd,nd->qn", fb[:nq], fb, preferred_element_type=jnp.float32
+    return _kr_chunked_program(
+        feat,
+        jnp.float32(lambda_value),
+        nq=int(qn.shape[0]),
+        k1=k1,
+        k2=k2,
+        row_chunk=row_chunk,
+        set_chunk=set_chunk,
+        jaccard_chunk=jaccard_chunk,
+        matmul_dtype=matmul_dtype,
     )
-    dq = dq / jnp.clip(colmax, min=1e-12)[None, :]
-    final = jacc.T * (1.0 - lambda_value) + dq * lambda_value
-    return jnp.argsort(final[:, nq:], axis=1)
 
 
 def kr_rerank(
