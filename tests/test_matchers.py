@@ -31,6 +31,13 @@ class TestMatcherContract:
             ("HNSW", {"m": 8, "ef": 64}),
             ("PQ_HNSW", {"N_books": 4, "N_words": 32, "m": 8, "ef": 32}),
             ("IVFPQ", {"nlist": 8, "M": 4, "nbits": 5, "nprobe": 8}),
+            # OPQ variants: the learned rotation must persist through the
+            # artifact (rotation array inside arrays.npz, same kind name)
+            ("PQ", {"N_books": 4, "n_bits_perbook": 5, "opq": True}),
+            ("PQ_HNSW",
+             {"N_books": 4, "N_words": 32, "m": 8, "ef": 32, "opq": True}),
+            ("IVFPQ",
+             {"nlist": 8, "M": 4, "nbits": 5, "nprobe": 8, "opq": True}),
         ],
     )
     def test_artifact_matchers_generate_then_load(self, name, kw, tmp_path):
