@@ -245,7 +245,7 @@ def build_ivfpq(
 
         cb = opq_train(
             sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters,
-            opq_iters=opq_iters, seed=seed,
+            opq_iters=opq_iters, seed=seed, mesh=mesh,
         )
     else:
         cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters,

@@ -93,7 +93,7 @@ def build_pq(
         # reference's plain-PQ nanopq; one extra (D, D) matmul per batch
         cb = opq_train(
             v, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters, seed=seed,
-            train_sample=train_sample,
+            train_sample=train_sample, mesh=mesh,
         )
     else:
         cb = pq_train(

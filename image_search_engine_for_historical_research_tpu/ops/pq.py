@@ -119,6 +119,7 @@ def opq_train(
     opq_iters: int = 10,
     seed: int = 42,
     train_sample: int | None = None,
+    mesh=None,
 ) -> PQCodebook:
     """OPQ: alternate PQ fits with an orthogonal Procrustes rotation update
     (Ge et al., CVPR'13, the non-parametric solution). Beyond the reference
@@ -145,6 +146,10 @@ def opq_train(
     ts = train_sample if train_sample is not None else min(
         N, max(16384, 8 * Ks)
     )
+    if mesh is not None:
+        # sharded Lloyd needs row counts divisible by the mesh axis
+        d = mesh.devices.size
+        ts = max(d, (ts // d) * d)
     if ts < N:
         ridx = np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
         x = v[jnp.asarray(ridx)]
@@ -154,7 +159,7 @@ def opq_train(
     inner = max(4, iters // 3)
     for _ in range(opq_iters):
         xr = x @ R
-        cb = pq_train(xr, M=M, Ks=Ks, iters=inner, seed=seed)
+        cb = pq_train(xr, M=M, Ks=Ks, iters=inner, seed=seed, mesh=mesh)
         xhat = pq_decode(cb, pq_encode(cb, xr))         # rotated space
         del xr
         u, _, vt = jnp.linalg.svd(x.T @ xhat, full_matrices=False)
@@ -169,6 +174,9 @@ def opq_train(
     fs = train_sample if train_sample is not None else min(
         N, max(16384, 16 * Ks)
     )
+    if mesh is not None:
+        d = mesh.devices.size
+        fs = max(d, (fs // d) * d)
     if fs <= ts:
         xr = x @ R
         del x
@@ -183,7 +191,7 @@ def opq_train(
             parts.append(chunk)
         xr = jnp.concatenate(parts, axis=0)
         del parts
-    cb = pq_train(xr, M=M, Ks=Ks, iters=iters, seed=seed)
+    cb = pq_train(xr, M=M, Ks=Ks, iters=iters, seed=seed, mesh=mesh)
     return PQCodebook(codewords=cb.codewords, rotation=R)
 
 

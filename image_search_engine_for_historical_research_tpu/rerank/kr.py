@@ -306,6 +306,7 @@ def kr_rerank(
     lambda_value: float = 0.3,
     max_bytes: int = 8 << 30,
     method: str = "auto",
+    matmul_dtype=jnp.float32,
 ):
     """Ranks (Q, N) ascending by the re-ranked distance (Reranking.py:616-624).
 
@@ -314,6 +315,12 @@ def kr_rerank(
     (``kr_rerank_chunked``: no O(n^2) buffer, >= 100k-gallery envelope)
     beyond that. ``"dense"`` / ``"chunked"`` force a path; dense raises
     rather than OOM-wedge the 16 GB chip (CLAUDE.md).
+
+    ``matmul_dtype`` (chunked path only) runs the two full distance passes in
+    that dtype — ``jnp.bfloat16`` halves their bytes and quadruples MXU rate;
+    the top-(k1+1) sets it produces differ only where distances tie below
+    bf16 resolution (see BASELINE.md for the measured effect). f32 default
+    keeps exact dense-path parity.
     """
     n = int(qvecs.shape[0]) + int(vecs.shape[0])
     est = 24 * n * n
@@ -321,7 +328,8 @@ def kr_rerank(
         method = "dense" if est <= max_bytes else "chunked"
     if method == "chunked":
         return kr_rerank_chunked(
-            qvecs, vecs, k1=k1, k2=k2, lambda_value=lambda_value
+            qvecs, vecs, k1=k1, k2=k2, lambda_value=lambda_value,
+            matmul_dtype=matmul_dtype,
         )
     if est > max_bytes:
         raise ValueError(

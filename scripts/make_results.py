@@ -176,6 +176,14 @@ def main():
                 N_books=16, n_bits_perbook=nb),
     )
     add_matcher(
+        f"PQ + OPQ (M=16, Ks=2^{nb})",
+        run_ours("PQ", dataset="synth_opq", outputs=args.workdir + "/ours",
+                 n_bits_perbook=nb, opq=True),
+        None,
+        "learned orthogonal pre-rotation, beyond the reference (nanopq is "
+        "plain PQ); 1M numbers in BASELINE.md",
+    )
+    add_matcher(
         "ANNOY / RP-forest (100 trees)",
         run_ours("ANNOY", dataset="synth", outputs=args.workdir + "/ours"),
         None, "annoy is a C++ lib, not runnable here; recall column vs exact",
@@ -216,9 +224,23 @@ def main():
         "pure-python insert as HNSW above",
     )
     add_matcher(
+        "PQ_HNSW + OPQ (M=16, adc+refine)",
+        run_ours("PQ_HNSW", dataset="synth_opq",
+                 outputs=args.workdir + "/ours", opq=True),
+        None,
+        "codes-only route with the learned rotation (recall@100 0.976 at 1M, "
+        "BASELINE.md)",
+    )
+    add_matcher(
         "IVF-PQ (nlist=316, nprobe=64)",
         run_ours("IVFPQ", dataset="synth", outputs=args.workdir + "/ours"),
         None, "reference uses faiss IndexIVFPQ (knn.py:43)",
+    )
+    add_matcher(
+        "IVF-PQ + OPQ residual rotation",
+        run_ours("IVFPQ", dataset="synth_opq",
+                 outputs=args.workdir + "/ours", opq=True),
+        None, "faiss OPQMatrix arrangement, beyond the reference wrapper",
     )
 
     # ------------------------------------------------------------ re-rankers

@@ -140,10 +140,28 @@ def main():
     ic = jnp.asarray(np.arange(1, P + 1, dtype=np.int32).reshape(P // B, B))
     banked_fn(imgs, iq, ic)  # warmup/compile
     dt = _time_reps(lambda: banked_fn(imgs, iq, ic), args.reps)
+    counts_f32 = np.asarray(banked_fn(imgs, iq, ic)).ravel()
     print(json.dumps({
         "stage": "loftr_banked_scan", "pairs": P, "pair_batch": B,
         "ms_per_pair": round(dt / P * 1e3, 2),
         "s_per_query_b60": round(dt / P * 60, 2),
+    }), flush=True)
+
+    # bf16 fast path: params+activations cast, match counts compared vs f32
+    banked_bf16 = loftr.make_banked_count_fn(
+        m, variables, compute_dtype=jnp.bfloat16
+    )
+    banked_bf16(imgs, iq, ic)
+    dt16 = _time_reps(lambda: banked_bf16(imgs, iq, ic), args.reps)
+    counts_bf16 = np.asarray(banked_bf16(imgs, iq, ic)).ravel()
+    denom = np.maximum(counts_f32, 1)
+    print(json.dumps({
+        "stage": "loftr_banked_scan_bf16", "pairs": P, "pair_batch": B,
+        "ms_per_pair": round(dt16 / P * 1e3, 2),
+        "s_per_query_b60": round(dt16 / P * 60, 2),
+        "count_rel_err_vs_f32": round(
+            float(np.mean(np.abs(counts_bf16 - counts_f32) / denom)), 4
+        ),
     }), flush=True)
 
 

@@ -138,12 +138,35 @@ def measure_kr(sizes=(13000, 100000), q=70):
         ranks = kr_rerank(queries, db)
         _force(ranks)
         t2 = time.time()
+        chunked = 24 * (n + q) ** 2 > (8 << 30)
         print(json.dumps({
             "stage": "kr_rerank", "N": n, "Q": q,
-            "method": "dense" if 24 * (n + q) ** 2 <= (8 << 30) else "chunked",
+            "method": "chunked" if chunked else "dense",
             "first_s": round(t1 - t0, 1),
             "ms_per_query": round((t2 - t1) / q * 1e3, 2),
         }), flush=True)
+        if chunked:
+            # bf16 distance passes: rank agreement vs the f32 run + speed
+            import jax.numpy as jnp
+
+            rf = np.asarray(ranks)[:, :100]
+            t0 = time.time()
+            ranks = kr_rerank(queries, db, matmul_dtype=jnp.bfloat16)
+            _force(ranks)
+            t1 = time.time()
+            ranks = kr_rerank(queries, db, matmul_dtype=jnp.bfloat16)
+            _force(ranks)
+            t2 = time.time()
+            rb = np.asarray(ranks)[:, :100]
+            overlap = float(np.mean([
+                len(set(rf[i]) & set(rb[i])) / 100 for i in range(q)
+            ]))
+            print(json.dumps({
+                "stage": "kr_rerank", "N": n, "Q": q, "method": "chunked_bf16",
+                "first_s": round(t1 - t0, 1),
+                "ms_per_query": round((t2 - t1) / q * 1e3, 2),
+                "top100_overlap_vs_f32": round(overlap, 4),
+            }), flush=True)
 
 
 if __name__ == "__main__":

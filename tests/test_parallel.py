@@ -90,6 +90,40 @@ def test_sharded_pq_fit_matches_single_device(mesh):
     assert agree > 0.99, agree
 
 
+def test_sharded_opq_fit_matches_single_device(mesh):
+    """opq=True must not silently drop the mesh. Unlike the plain-PQ fit,
+    the rotation is NOT elementwise-stable across the psum reduction order:
+    float drift in near-degenerate SVD directions amplifies over the
+    alternating rounds. The invariants that matter: the sharded build's
+    rotation is orthogonal and its quantization error matches the
+    single-device build's."""
+    import jax.numpy as jnp
+
+    from image_search_engine_for_historical_research_tpu.index import build_pq
+    from image_search_engine_for_historical_research_tpu.ops.pq import (
+        pq_decode,
+        pq_encode,
+    )
+
+    x = _clustered(3, 8, 64, 32)
+    ix_s = build_pq(x, M=4, Ks=8, iters=8, opq=True, opq_iters=3)
+    ix_m = build_pq(x, M=4, Ks=8, iters=8, opq=True, opq_iters=3, mesh=mesh)
+    R = np.asarray(ix_m.rotation)
+    np.testing.assert_allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-5)
+
+    xn = np.asarray(x, np.float32)
+    xn /= np.linalg.norm(xn, axis=1, keepdims=True)
+
+    def qerr(ix):
+        rec = np.asarray(
+            pq_decode(ix.codebook, pq_encode(ix.codebook, jnp.asarray(xn)))
+        )
+        return float(np.mean(np.sum((rec - xn) ** 2, axis=1)))
+
+    es, em = qerr(ix_s), qerr(ix_m)
+    assert em <= es * 1.05 + 1e-6, (es, em)
+
+
 def test_sharded_knn_graph_build_matches_single_device(mesh):
     from image_search_engine_for_historical_research_tpu.index.graph_build import (
         build_hnsw_graph_tpu,
