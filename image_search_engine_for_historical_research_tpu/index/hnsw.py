@@ -512,6 +512,11 @@ def build_hnsw_pq(
     methods reconstruct from. Set 0 to skip (halves index bytes, caps
     recall@100 at the coarse-ADC ceiling).
 
+    ``opq``: ``True`` learns an orthogonal pre-rotation for BOTH code levels;
+    ``"refine"`` rotates only the residual level — keeping the coarse codes'
+    dedup (and therefore the small graph + cheap unique-code ADC scan) while
+    the refine re-rank gets the rotation's lower reconstruction error.
+
     ``vecs`` may be passed as a ONE-ELEMENT LIST to donate the gallery: the
     builder then owns the only reference and frees the 8 GB (at 1M x 2048)
     device buffer before materializing the decoded graph vectors — without
@@ -519,11 +524,20 @@ def build_hnsw_pq(
     path's extra transient churn tips a 16 GB chip over (measured)."""
     if isinstance(vecs, list):
         vecs = vecs.pop()  # empty the caller's holder: transfer ownership
+    if opq not in (False, True, "refine"):
+        raise ValueError(f"opq must be False, True, or 'refine'; got {opq!r}")
+    # opq=True rotates BOTH levels; opq="refine" rotates only the residual
+    # level: the coarse codes then keep their dedup (a full rotation measured
+    # 162k -> 1M unique codes at the 1M driver point — rotated subspaces no
+    # longer align with cluster axes — inflating the graph and the ADC scan
+    # 6x) while the refine re-rank still gets the rotation's ~3x lower
+    # reconstruction error, which is what bounds final ordering
+    coarse_opq = opq is True
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
         v = normalize_rows(v)
     N = v.shape[0]
-    if opq:
+    if coarse_opq:
         from ..ops.pq import opq_train
 
         # learned orthogonal pre-rotation (Ge et al. CVPR'13): coarse codes

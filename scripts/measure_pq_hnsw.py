@@ -41,6 +41,8 @@ def main():
     p.add_argument("--refine-m", type=int, default=16)
     p.add_argument("--opq", action="store_true",
                    help="learned orthogonal pre-rotation (OPQ) for both levels")
+    p.add_argument("--opq-refine", action="store_true",
+                   help="OPQ on the residual level only (coarse keeps dedup)")
     p.add_argument("--refine-only", action="store_true",
                    help="skip the non-refine methods (faster sweeps)")
     args = p.parse_args()
@@ -54,12 +56,13 @@ def main():
     # donate the gallery to the builder (one-element list): it frees the
     # 8 GB buffer before the graph stage — the OPQ path OOMs otherwise.
     # clustered_db is deterministic, so the rerank config regenerates it.
+    opq = "refine" if args.opq_refine else bool(args.opq)
     holder = [db]
     del db
     t0 = time.time()
     ix = build_hnsw_pq(
         holder, M=16, Ks=args.ks, m=16, normalize=False,
-        refine_M=args.refine_m, opq=args.opq,
+        refine_M=args.refine_m, opq=opq,
     )
     del holder
     build_s = time.time() - t0
@@ -67,7 +70,7 @@ def main():
     np.asarray(db[:1, :1])
     print(json.dumps({
         "stage": "build", "N": args.n, "Ks": args.ks,
-        "refine_M": args.refine_m, "opq": bool(args.opq),
+        "refine_M": args.refine_m, "opq": opq,
         "unique_codes": int(ix.unique_codes.shape[0]),
         "seconds": round(build_s, 1),
     }), flush=True)

@@ -195,6 +195,32 @@ class TestHNSWPQ:
             np.asarray(ix0.search(q, k, method="adc")[1]),
         )
 
+    def test_opq_refine_mode_keeps_coarse_dedup(self, data, tmp_path):
+        """opq="refine" rotates ONLY the residual level: coarse codes (and
+        therefore the unique-code graph) are identical to the plain build,
+        while the refine re-rank uses the rotated residual codebook. A full
+        opq=True rotation changes the coarse codes themselves."""
+        x, q, exact = data
+        plain = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64)
+        hyb = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64,
+                            opq="refine", opq_iters=3)
+        assert hyb.rotation is None and hyb.refine_rotation is not None
+        np.testing.assert_array_equal(
+            np.asarray(hyb.unique_codes), np.asarray(plain.unique_codes)
+        )
+        k = 10
+        r_hyb = recall_at(exact, hyb.search(q, k, method="adc+refine")[1], k)
+        assert r_hyb >= 0.9, r_hyb
+        # persists and reloads with only the refine rotation
+        save_index(hyb, str(tmp_path / "hyb"))
+        loaded = load_index(str(tmp_path / "hyb"))
+        assert loaded.rotation is None and loaded.refine_rotation is not None
+        np.testing.assert_array_equal(
+            np.asarray(hyb.search(q, k)[1]), np.asarray(loaded.search(q, k)[1])
+        )
+        with pytest.raises(ValueError, match="opq"):
+            build_hnsw_pq(x, M=8, Ks=32, opq="both")
+
     def test_save_load(self, data, tmp_path):
         x, q, _ = data
         ix = build_hnsw_pq(x, M=4, Ks=16, m=4, ef_construction=16)
