@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kmeans import kmeans_fit
-from ..ops.pq import PQCodebook, pq_encode, pq_train
+from ..ops.pq import PQCodebook, pq_decode, pq_encode, pq_train
 from .base import normalize_rows, register
 
 
@@ -87,11 +87,12 @@ def _ivfpq_search(
         )
 
         def one_probe(carry, p_idx):
-            best_s, best_i = carry
+            best_s, best_i, best_p = carry
             l = probe_q[p_idx]
             start = offsets[l]
             codes_seg = jax.lax.dynamic_slice(flat_codes, (start, 0), (seg, M))
             ids_seg = jax.lax.dynamic_slice(flat_ids, (start,), (seg,))
+            pos_seg = start + seg_iota[:, 0]                        # flat slots
             lut_p = lut[p_idx]                                      # (M, Ks)
 
             def add_m(m, acc):
@@ -109,17 +110,54 @@ def _ivfpq_search(
 
             cand_s = jnp.concatenate([best_s, s])
             cand_i = jnp.concatenate([best_i, ids_seg])
+            cand_p = jnp.concatenate([best_p, pos_seg])
             top_s, sel = jax.lax.top_k(cand_s, k)
-            return (top_s, cand_i[sel]), None
+            return (top_s, cand_i[sel], cand_p[sel]), None
 
         init = (
             jnp.full((k,), -jnp.inf, jnp.float32),
             jnp.full((k,), -1, jnp.int32),
+            jnp.zeros((k,), jnp.int32),
         )
-        (s, i), _ = jax.lax.scan(one_probe, init, jnp.arange(nprobe))
-        return s, i
+        (s, i, p), _ = jax.lax.scan(one_probe, init, jnp.arange(nprobe))
+        return s, i, p
 
     return jax.lax.map(per_query, (queries, probe))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _ivfpq_rerank_refine(
+    coarse_centers, cb, flat_codes, flat_list, rcb, flat_refine,
+    q, cand_pos, cand_ids, k: int,
+):
+    """Codes-only re-rank of probed candidates (IVFADC+R, Jegou et al.,
+    "Searching in one billion vectors: re-rank with source coding",
+    ICASSP'11 — faiss's ``IndexIVFPQR``).
+
+    Each candidate is reconstructed as ``coarse_center + decode(residual
+    code) + decode(refine code)`` and re-scored exactly against the query —
+    no raw vectors, so the route stays valid beyond-HBM (the regime this
+    backend is kept for; the reference's faiss ANN at knn.py:43-54 re-ranks
+    by ADC alone). All gathers are contiguous-row DMAs (2048/ds-element
+    rows), not scalar-unit element gathers. Working set: (Q*E, D) f32
+    reconstructions, ~230 MB at Q=70/E=400/D=2048."""
+    Q, E = cand_pos.shape
+    pos = cand_pos.reshape(-1)
+    codes = jnp.take(flat_codes.astype(jnp.int32), pos, axis=0)      # (QE, M)
+    rcodes = jnp.take(flat_refine.astype(jnp.int32), pos, axis=0)    # (QE, Mr)
+    lists = jnp.take(flat_list, pos, axis=0)                         # (QE,)
+    centers = jnp.take(coarse_centers, lists, axis=0)                # (QE, D)
+    recon = centers + pq_decode(cb, codes) + pq_decode(rcb, rcodes)
+    recon = recon.reshape(Q, E, -1)
+    qf = q.astype(jnp.float32)
+    # -||q - recon||^2 up to the per-query ||q||^2 constant: larger = better
+    s = 2.0 * jnp.einsum("qd,qed->qe", qf, recon) - jnp.sum(
+        recon * recon, axis=-1
+    )
+    s = jnp.where(cand_ids >= 0, s, -jnp.inf)
+    top_s, top_j = jax.lax.top_k(s, k)
+    top_i = jnp.take_along_axis(cand_ids, top_j, axis=1)
+    return top_s, top_i
 
 
 @register("ivfpq")
@@ -135,20 +173,54 @@ class IVFPQIndex:
     nprobe: int = 64
     normalized: bool = True
     rotation: jnp.ndarray = None  # optional (D, D) OPQ residual pre-rotation
+    # two-level refinement codes (IVFADC+R / faiss IndexIVFPQR): a second PQ
+    # over the reconstruction residual x - center - decode(code), stored in
+    # FLAT (list-sorted) order alongside flat_codes. ~refine_M extra bytes
+    # per vector buys a codes-only exact-reconstruction re-rank.
+    refine_codewords: jnp.ndarray = None  # (Mr, Ksr, dsr)
+    flat_refine: jnp.ndarray = None       # (Npad, Mr) uint8
+    flat_list: jnp.ndarray = None         # (Npad,) int32 slot -> list id
 
     @property
     def n(self) -> int:
         return int(np.asarray(self.lens).sum())
 
-    def search(self, queries, k: int, nprobe: int = None) -> Tuple:
+    def search(self, queries, k: int, nprobe: int = None,
+               method: str = "auto", expand: int = 4) -> Tuple:
+        """Probe ``nprobe`` lists and rank by ADC.
+
+        ``method``: ``"adc"`` ranks by the LUT distances alone (faiss
+        IndexIVFPQ); ``"adc+refine"`` keeps ``expand * k`` candidate slots
+        and re-ranks them from two-level code reconstructions (faiss
+        IndexIVFPQR — requires ``refine_M > 0`` at build); ``"auto"``
+        (default) picks ``"adc+refine"`` when refine codes exist."""
         q = jnp.asarray(queries)
         if self.normalized:
             q = normalize_rows(q)
         k = min(k, self.n)
-        return _ivfpq_search(
+        if method == "auto":
+            method = "adc+refine" if self.flat_refine is not None else "adc"
+        if method not in ("adc", "adc+refine"):
+            raise ValueError(f"unknown method {method!r}")
+        if method == "adc+refine" and self.flat_refine is None:
+            raise ValueError(
+                "method='adc+refine' requires refine codes (build_ivfpq with "
+                "refine_M > 0)"
+            )
+        n_slots = min(expand * k, self.n) if method == "adc+refine" else k
+        s, i, p = _ivfpq_search(
             self.coarse_centers, self.codewords, self.flat_codes, self.flat_ids,
-            self.offsets, self.lens, q, self.rotation, k,
+            self.offsets, self.lens, q, self.rotation, n_slots,
             min(nprobe or self.nprobe, self.coarse_centers.shape[0]), self.seg,
+        )
+        if method == "adc":
+            return s, i
+        return _ivfpq_rerank_refine(
+            self.coarse_centers,
+            PQCodebook(self.codewords, self.rotation),
+            self.flat_codes, self.flat_list,
+            PQCodebook(self.refine_codewords, None), self.flat_refine,
+            q, p, i, k,
         )
 
     def to_arrays(self):
@@ -162,6 +234,12 @@ class IVFPQIndex:
         }
         if self.rotation is not None:
             arrays["rotation"] = np.asarray(self.rotation, np.float32)
+        if self.flat_refine is not None:
+            arrays["refine_codewords"] = np.asarray(
+                self.refine_codewords, np.float32
+            )
+            arrays["flat_refine"] = np.asarray(self.flat_refine)
+            arrays["flat_list"] = np.asarray(self.flat_list, np.int32)
         return (
             {"nprobe": self.nprobe, "normalized": self.normalized, "seg": self.seg},
             arrays,
@@ -182,6 +260,18 @@ class IVFPQIndex:
             rotation=(
                 jnp.asarray(arrays["rotation"]) if "rotation" in arrays else None
             ),
+            refine_codewords=(
+                jnp.asarray(arrays["refine_codewords"])
+                if "refine_codewords" in arrays else None
+            ),
+            flat_refine=(
+                jnp.asarray(arrays["flat_refine"])
+                if "flat_refine" in arrays else None
+            ),
+            flat_list=(
+                jnp.asarray(arrays["flat_list"])
+                if "flat_list" in arrays else None
+            ),
         )
 
 
@@ -199,6 +289,8 @@ def build_ivfpq(
     mesh=None,
     opq: bool = False,
     opq_iters: int = 10,
+    refine_M: int = 0,
+    refine_Ks: int = 256,
 ) -> IVFPQIndex:
     """Train coarse + residual-PQ quantizers and pack flat inverted lists.
 
@@ -213,6 +305,12 @@ def build_ivfpq(
     OPQMatrix-before-IVFPQ arrangement; the coarse quantizer itself gains
     nothing from a rotation — assignments are rotation-covariant — so only
     the residual codes quantize rotated vectors).
+
+    ``refine_M > 0``: train a second, plain PQ over the reconstruction
+    residuals ``x - center - decode(code)`` (IVFADC+R; faiss IndexIVFPQR)
+    at ``refine_M`` extra bytes/vector, enabling the codes-only
+    ``method="adc+refine"`` re-rank — the beyond-HBM high-recall route,
+    mirroring the HNSW-PQ refine level (index/hnsw.py).
     """
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
@@ -251,17 +349,34 @@ def build_ivfpq(
         cb = pq_train(sample - coarse_centers[s_assign], M=M, Ks=Ks, iters=iters,
                       seed=seed, mesh=mesh)
 
+    rcb = None
+    if refine_M > 0:
+        # second-level PQ on the sample's reconstruction residuals
+        r1 = sample - coarse_centers[s_assign]
+        r2 = r1 - pq_decode(cb, pq_encode(cb, r1))
+        rcb = pq_train(r2, M=refine_M, Ks=refine_Ks, iters=iters,
+                       seed=seed + 1, mesh=mesh)
+
     # assign + residual-encode the full database in row chunks (a full (N, D)
     # residual copy alone is 8 GB at 1M x 2048 — OOM next to the db)
     chunk_rows = 131072
     assign_h = np.empty((N,), np.int64)
     codes_h = np.empty((N, M), np.uint8 if Ks <= 256 else np.int32)
+    refine_h = (
+        np.empty((N, refine_M), np.uint8 if refine_Ks <= 256 else np.int32)
+        if refine_M > 0 else None
+    )
     for s in range(0, N, chunk_rows):
         part = v[s : s + chunk_rows]
         a = jnp.argmin(c2[None, :] - 2.0 * (part @ coarse_centers.T), axis=1)
         r = part - coarse_centers[a]
+        code = pq_encode(cb, r)
         assign_h[s : s + part.shape[0]] = np.asarray(a)
-        codes_h[s : s + part.shape[0]] = np.asarray(pq_encode(cb, r))
+        codes_h[s : s + part.shape[0]] = np.asarray(code)
+        if refine_M > 0:
+            refine_h[s : s + part.shape[0]] = np.asarray(
+                pq_encode(rcb, r - pq_decode(cb, code))
+            )
 
     # pack flat sorted lists with offsets/lens
     order = np.argsort(assign_h, kind="stable")
@@ -279,6 +394,15 @@ def build_ivfpq(
     flat_ids = np.full((Npad,), -1, np.int32)
     flat_ids[:N] = order
 
+    flat_refine = flat_list = None
+    if refine_M > 0:
+        flat_refine = np.zeros((Npad, refine_M), refine_h.dtype)
+        flat_refine[:N] = refine_h[order]
+        flat_list = np.zeros((Npad,), np.int32)
+        flat_list[:N] = assign_h[order]
+        flat_refine = jnp.asarray(flat_refine)
+        flat_list = jnp.asarray(flat_list)
+
     return IVFPQIndex(
         coarse_centers=coarse_centers,
         codewords=cb.codewords,
@@ -290,4 +414,7 @@ def build_ivfpq(
         nprobe=min(nprobe, nlist),
         normalized=normalize,
         rotation=cb.rotation,
+        refine_codewords=rcb.codewords if rcb is not None else None,
+        flat_refine=flat_refine,
+        flat_list=flat_list,
     )

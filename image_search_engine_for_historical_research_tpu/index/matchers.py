@@ -209,17 +209,19 @@ def matching_HNSW_NanoPQ(
 
 def matching_IVFPQ(
     K, train, test, dataset, nlist=316, M=16, nbits=8, nprobe=64,
-    ifgenerate=True, outputs="outputs", warmup=True, opq=False,
+    ifgenerate=True, outputs="outputs", warmup=True, opq=False, refine_M=0,
 ):
     """IVF-PQ matcher (the faiss ANN of knn.py:43-54). ``opq`` learns an
-    orthogonal pre-rotation of the residuals (faiss OPQMatrix arrangement)."""
+    orthogonal pre-rotation of the residuals (faiss OPQMatrix arrangement);
+    ``refine_M > 0`` adds second-level refinement codes (faiss IndexIVFPQR)
+    and search auto-switches to the codes-only ``adc+refine`` re-rank."""
     q = normalize_rows(_as_rows(test))
     path = _artifact(dataset, "ivfpq", outputs)
     index = _build_or_load(
         path, ifgenerate,
         lambda: build_ivfpq(
             _as_rows(train), nlist=nlist, M=M, Ks=2 ** nbits, nprobe=nprobe,
-            opq=opq,
+            opq=opq, refine_M=refine_M,
         ),
     )
     return _timed_search(index, q, min(K, index.n), warmup)

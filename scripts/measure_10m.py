@@ -105,6 +105,38 @@ def main():
         "scanned_fraction": round(nprobe * L / N, 4),
     }), flush=True)
 
+    # ---- IVFADC+R: refine-code re-rank cost on top of the probe scan
+    # (timing is value-independent; recall is measured at 1M against exact
+    # ground truth by scripts/measure_ivfpqr.py where raw vectors fit HBM)
+    refine_M = 32
+    ix_r = IVFPQIndex(
+        coarse_centers=ix.coarse_centers,
+        codewords=ix.codewords,
+        flat_codes=ix.flat_codes,
+        flat_ids=ix.flat_ids,
+        offsets=ix.offsets,
+        lens=ix.lens,
+        seg=seg, nprobe=nprobe, normalized=False,
+        refine_codewords=jnp.asarray(
+            rng.standard_normal((refine_M, 256, D // refine_M)).astype(np.float32)
+        ),
+        flat_refine=jax.random.randint(
+            jax.random.PRNGKey(2), (nlist * seg, refine_M), 0, 256,
+            dtype=jnp.int32,
+        ).astype(jnp.uint8),
+        flat_list=jnp.repeat(
+            jnp.arange(nlist, dtype=jnp.int32), seg
+        ),
+    )
+    ix_r.search(queries, 100)  # warmup/compile (auto -> adc+refine)
+    dt = _time_reps(lambda: ix_r.search(queries, 100))
+    print(json.dumps({
+        "stage": "ivfpqr_probe_refine", "N": N, "nlist": nlist,
+        "nprobe": nprobe, "refine_M": refine_M,
+        "ms_per_query": round(dt / Q * 1e3, 2),
+        "extra_bytes_per_vec": refine_M,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
