@@ -59,9 +59,18 @@ def add_common_args(parser: argparse.ArgumentParser):
                         help="python list of scales (reference flag format)")
     parser.add_argument("--matching-method", default="L2",
                         help="L2 | PQ | ANNOY | HNSW | PQ_HNSW | IVFPQ | LSH")
-    parser.add_argument("--opq", action="store_true",
+    parser.add_argument("--opq", nargs="?", const=True, default=False,
+                        choices=[True, False, "refine"],
                         help="learned orthogonal pre-rotation for PQ-family "
-                             "indexes (OPQ, Ge et al. CVPR'13)")
+                             "indexes (OPQ, Ge et al. CVPR'13); '--opq' "
+                             "rotates all code levels, '--opq refine' rotates "
+                             "only the residual level (PQ_HNSW: keeps coarse-"
+                             "code dedup)")
+    parser.add_argument("--refine-m", type=int, default=None, metavar="BYTES",
+                        help="second-level refinement codes per vector for "
+                             "PQ_HNSW / IVFPQ (IVFADC+R): enables the "
+                             "codes-only adc+refine re-rank; default = "
+                             "backend default (PQ_HNSW 32, IVFPQ 0)")
     parser.add_argument("--ifgenerate", action="store_true",
                         help="(re)build index artifacts instead of loading")
     parser.add_argument("--outputs", default="outputs")

@@ -351,15 +351,22 @@ def build_ivfpq(
 
     rcb = None
     if refine_M > 0:
-        # second-level PQ on the sample's reconstruction residuals
+        # second-level PQ on the sample's reconstruction residuals; free
+        # each (n_train, D) temporary deterministically — they are ~1.6 GB
+        # apiece at 1M/train_fraction=0.2 and must not stay live next to
+        # the 8 GB database through the encode loop below
         r1 = sample - coarse_centers[s_assign]
         r2 = r1 - pq_decode(cb, pq_encode(cb, r1))
+        del r1
         rcb = pq_train(r2, M=refine_M, Ks=refine_Ks, iters=iters,
                        seed=seed + 1, mesh=mesh)
+        del r2
+    del sample, s_assign
 
     # assign + residual-encode the full database in row chunks (a full (N, D)
-    # residual copy alone is 8 GB at 1M x 2048 — OOM next to the db)
-    chunk_rows = 131072
+    # residual copy alone is 8 GB at 1M x 2048 — OOM next to the db); the
+    # chunk also caps the (chunk, nlist) coarse-score temporary at ~1 GB
+    chunk_rows = min(131072, max(8192, (1 << 30) // (4 * nlist)))
     assign_h = np.empty((N,), np.int64)
     codes_h = np.empty((N, M), np.uint8 if Ks <= 256 else np.int32)
     refine_h = (

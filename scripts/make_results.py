@@ -242,6 +242,14 @@ def main():
                  outputs=args.workdir + "/ours", opq=True),
         None, "faiss OPQMatrix arrangement, beyond the reference wrapper",
     )
+    add_matcher(
+        "IVF-PQ + refine (IVFADC+R, refine_M=16)",
+        run_ours("IVFPQ", dataset="synth_r",
+                 outputs=args.workdir + "/ours", refine_M=16),
+        None,
+        "codes-only two-level re-rank (faiss IndexIVFPQR); 1M numbers in "
+        "BASELINE.md",
+    )
 
     # ------------------------------------------------------------ re-rankers
     rr = rp.load_reference_reranking()

@@ -54,6 +54,24 @@ def _ensure_store(root, small_model, monkeypatch):
     ]) == 0
 
 
+def test_offline_cli_quantizer_flags():
+    """--opq [refine] and --refine-m reach the matcher kwargs unchanged."""
+    from image_search_engine_for_historical_research_tpu.cli import common, offline
+
+    base = ["--datasets", "db", "--data-root", "/tmp",
+            "--matching-method", "IVFPQ"]
+    args = offline.build_parser().parse_args(base + ["--opq", "refine",
+                                                      "--refine-m", "8"])
+    kw = offline._matcher_kwargs(args, "db")
+    assert kw["opq"] == "refine" and kw["refine_M"] == 8
+    args = offline.build_parser().parse_args(base + ["--opq"])
+    kw = offline._matcher_kwargs(args, "db")
+    assert kw["opq"] is True and "refine_M" not in kw
+    args = offline.build_parser().parse_args(base)
+    kw = offline._matcher_kwargs(args, "db")
+    assert kw["opq"] is False and "refine_M" not in kw
+
+
 def test_offline_cli_builds_store_and_index(workspace, small_model, monkeypatch):
     from image_search_engine_for_historical_research_tpu.cli import common, offline
 
