@@ -291,6 +291,7 @@ def build_ivfpq(
     opq_iters: int = 10,
     refine_M: int = 0,
     refine_Ks: int = 256,
+    split_long: bool = True,
 ) -> IVFPQIndex:
     """Train coarse + residual-PQ quantizers and pack flat inverted lists.
 
@@ -311,6 +312,11 @@ def build_ivfpq(
     at ``refine_M`` extra bytes/vector, enabling the codes-only
     ``method="adc+refine"`` re-rank — the beyond-HBM high-recall route,
     mirroring the HNSW-PQ refine level (index/hnsw.py).
+
+    ``split_long``: split lists longer than ``seg`` into seg-sized virtual
+    lists sharing the original center, so no entry sits beyond the scan
+    window (skew on clustered data otherwise caps recall — see the inline
+    comment). Oversized lists then occupy several (tied) probe slots.
     """
     v = jnp.asarray(vecs, jnp.float32)
     if normalize:
@@ -401,24 +407,52 @@ def build_ivfpq(
     flat_ids = np.full((Npad,), -1, np.int32)
     flat_ids[:N] = order
 
+    # --- virtual-list split: k-means list-size skew puts entries past the
+    # (P99-sized) scan window of oversized lists, silently capping recall
+    # (measured at 1M/nlist=4096 on clustered data: recall@100 plateaus at
+    # 0.84 regardless of nprobe). Splitting each oversized list into
+    # seg-sized virtual lists that SHARE the original center makes every
+    # entry reachable: the duplicated centers tie in the coarse top-k, so a
+    # big cluster simply consumes adjacent probe slots.
+    parts = np.maximum(1, -(-counts // seg)) if split_long else np.ones(
+        nlist, np.int64
+    )
+    if split_long and int(parts.sum()) > nlist:
+        v_center = np.repeat(np.arange(nlist), parts)            # (nvirt,)
+        first = np.cumsum(parts) - parts
+        part_idx = np.arange(len(v_center)) - np.repeat(first, parts)
+        v_offsets = offsets[v_center] + part_idx * seg
+        v_lens = np.clip(counts[v_center] - part_idx * seg, 0, seg)
+        centers_out = jnp.take(
+            coarse_centers, jnp.asarray(v_center, jnp.int32), axis=0
+        )
+        offsets_out, lens_out = v_offsets, v_lens
+        # per-slot virtual list id (refine re-rank gathers its center by it)
+        slot_list = first[assign_h[order]] + (
+            np.arange(N) - offsets[assign_h[order]]
+        ) // seg
+    else:
+        centers_out, offsets_out, lens_out = coarse_centers, offsets, counts
+        slot_list = assign_h[order]
+
     flat_refine = flat_list = None
     if refine_M > 0:
         flat_refine = np.zeros((Npad, refine_M), refine_h.dtype)
         flat_refine[:N] = refine_h[order]
         flat_list = np.zeros((Npad,), np.int32)
-        flat_list[:N] = assign_h[order]
+        flat_list[:N] = slot_list
         flat_refine = jnp.asarray(flat_refine)
         flat_list = jnp.asarray(flat_list)
 
     return IVFPQIndex(
-        coarse_centers=coarse_centers,
+        coarse_centers=centers_out,
         codewords=cb.codewords,
         flat_codes=jnp.asarray(flat_codes),
         flat_ids=jnp.asarray(flat_ids),
-        offsets=jnp.asarray(offsets, jnp.int32),
-        lens=jnp.asarray(counts, jnp.int32),
+        offsets=jnp.asarray(offsets_out, jnp.int32),
+        lens=jnp.asarray(lens_out, jnp.int32),
         seg=int(seg),
-        nprobe=min(nprobe, nlist),
+        nprobe=min(nprobe, centers_out.shape[0]),
         normalized=normalize,
         rotation=cb.rotation,
         refine_codewords=rcb.codewords if rcb is not None else None,

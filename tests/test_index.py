@@ -245,6 +245,29 @@ class TestIVFPQ:
         _, i1 = loaded.search(q, 10)
         np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i1))
 
+    def test_split_long_lists_recovers_window_truncated_entries(self):
+        # one tight cluster -> one giant inverted list; a small forced seg
+        # puts most entries beyond the scan window unless the list is split
+        # into seg-sized virtual lists sharing the center
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((1, 16)).astype(np.float32)
+        x = base + 0.05 * rng.standard_normal((600, 16)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q = x[550:556]  # live near the END of the giant list
+        kw = dict(nlist=2, M=4, Ks=64, nprobe=8, seg=128)
+        ivf_ns = build_ivfpq(x, split_long=False, **kw)
+        ivf_sp = build_ivfpq(x, split_long=True, **kw)
+        _, i_ns = ivf_ns.search(q, 10)
+        _, i_sp = ivf_sp.search(q, 10)
+        qid = np.arange(550, 556)
+        hit_ns = np.mean([qid[i] in np.asarray(i_ns)[i] for i in range(6)])
+        hit_sp = np.mean([qid[i] in np.asarray(i_sp)[i] for i in range(6)])
+        assert hit_sp == 1.0, hit_sp
+        assert hit_ns < hit_sp, (hit_ns, hit_sp)
+        # split index exposes > nlist virtual lists, same total entries
+        assert ivf_sp.coarse_centers.shape[0] > 2
+        assert ivf_sp.n == 600
+
     def test_refine_requires_refine_codes(self):
         x = clustered(300, 16, k=7)
         plain = build_ivfpq(x, nlist=8, M=4, Ks=16, nprobe=8)
