@@ -494,6 +494,7 @@ def build_hnsw_pq(
     refine_Ks: int = 256,
     opq: bool = False,
     opq_iters: int = 10,
+    n: Optional[int] = None,
 ) -> HNSWPQIndex:
     """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683).
 
@@ -521,7 +522,24 @@ def build_hnsw_pq(
     builder then owns the only reference and frees the 8 GB (at 1M x 2048)
     device buffer before materializing the decoded graph vectors — without
     donation the graph stage holds gallery + decoded (12 GB) and the OPQ
-    path's extra transient churn tips a 16 GB chip over (measured)."""
+    path's extra transient churn tips a 16 GB chip over (measured).
+
+    **Streaming (beyond-HBM/host-RAM) build**: ``vecs`` may instead be a
+    CALLABLE yielding ``(c, D)`` row chunks, with the total row count as
+    ``n=`` (same contract as ``build_ivfpq``; see ``index/streaming.py``).
+    The gallery then never materializes: one pass gathers the fit + refine
+    training samples (device chunks stay on device), the (O)PQ fits run on
+    those samples, and a second pass encodes both code levels chunk-by-chunk.
+    The graph stage only ever touches the deduped codes. Fits are
+    bit-identical to an in-memory build called with the same explicit
+    ``train_sample`` (the sample index rule is ``pq_train``'s own); with
+    ``train_sample=None`` streaming always trains on the faiss-style
+    32*Ks-row budget — it cannot fall back to whole-database fits."""
+    streaming = callable(vecs)
+    if streaming and n is None:
+        raise ValueError(
+            "build_hnsw_pq(vecs=<callable>) needs the total row count n="
+        )
     if isinstance(vecs, list):
         vecs = vecs.pop()  # empty the caller's holder: transfer ownership
     if opq not in (False, True, "refine"):
@@ -533,69 +551,169 @@ def build_hnsw_pq(
     # 6x) while the refine re-rank still gets the rotation's ~3x lower
     # reconstruction error, which is what bounds final ordering
     coarse_opq = opq is True
-    v = jnp.asarray(vecs, jnp.float32)
-    if normalize:
-        v = normalize_rows(v)
-    N = v.shape[0]
-    if coarse_opq:
-        from ..ops.pq import opq_train
-
-        # learned orthogonal pre-rotation (Ge et al. CVPR'13): coarse codes
-        # quantize rotated vectors; graph distances are rotation-invariant
-        cb = opq_train(
-            v, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters, seed=seed,
-            train_sample=train_sample,
-        )
-    else:
-        cb = pq_train(
-            v, M=M, Ks=Ks, iters=iters, seed=seed, train_sample=train_sample
-        )
-    codes = np.asarray(pq_encode(cb, v))
-
     refine_cw = refine_codes_np = refine_rot = None
     rotation = None
-    if refine_M:
-        # clamp to the largest divisor of D not above the request (the
-        # default 16 would otherwise reject small toy dims outright)
-        D = int(v.shape[1])
-        refine_M = min(refine_M, D)
-        while D % refine_M:
-            refine_M -= 1
-    if refine_M:
-        # train the residual codebook on a row subsample (faiss-style
-        # points-per-centroid budget), then encode every residual chunked —
-        # a full f32 residual copy is another 8 GB at 1M x 2048
-        rs = min(N, max(16384, 32 * refine_Ks))
-        if rs < N:
-            ridx = np.sort(
-                np.random.RandomState(seed + 1).choice(N, rs, replace=False)
+    if streaming:
+        from ..ops.pq import opq_train
+        from .streaming import stream_encode_pieces, stream_gather_rows
+
+        N = int(n)
+        ts = min(N, train_sample if train_sample is not None
+                 else max(65536, 32 * Ks))
+        # the exact index rule pq_train/opq_train use internally, so the
+        # streamed fit is bit-identical to an in-memory build given the
+        # same explicit train_sample (tests/test_index_graph.py)
+        fit_idx = (
+            np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
+            if ts < N else np.arange(N)
+        )
+        ridx = None
+        if refine_M:
+            rs = min(N, max(16384, 32 * refine_Ks))
+            ridx = (
+                np.sort(np.random.RandomState(seed + 1).choice(
+                    N, rs, replace=False
+                ))
+                if rs < N else np.arange(N)
             )
-            vi = v[jnp.asarray(ridx)]
-            ci = jnp.asarray(codes[ridx])
+        gathered = stream_gather_rows(
+            vecs, N, [fit_idx] + ([ridx] if refine_M else []),
+            normalize=normalize,
+        )
+        fit_rows, refine_rows = gathered[0], (
+            gathered[1] if refine_M else None
+        )
+        del gathered
+        D = int(fit_rows.shape[1])
+        if refine_M:  # clamp to the largest divisor of D (as in-memory)
+            refine_M = min(refine_M, D)
+            while D % refine_M:
+                refine_M -= 1
+        if coarse_opq:
+            cb = opq_train(
+                fit_rows, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters,
+                seed=seed, train_sample=int(fit_rows.shape[0]),
+            )
         else:
-            vi, ci = v, jnp.asarray(codes)
-        residuals = vi - pq_decode(cb, ci)   # original space (decode un-rotates)
-        if opq:
+            cb = pq_train(
+                fit_rows, M=M, Ks=Ks, iters=iters, seed=seed,
+                train_sample=int(fit_rows.shape[0]),
+            )
+        del fit_rows
+        rcb = None
+        if refine_M:
+            # pq_encode is row-local, so encoding the sampled rows directly
+            # equals slicing the full code matrix at ridx
+            ci = pq_encode(cb, refine_rows)
+            residuals = refine_rows - pq_decode(cb, ci)
+            del refine_rows, ci
+            if opq:
+                rcb = opq_train(
+                    residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                    opq_iters=opq_iters, seed=seed + 1,
+                )
+            else:
+                rcb = pq_train(
+                    residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                    seed=seed + 1,
+                )
+            del residuals
+            refine_cw = rcb.codewords
+            refine_rot = rcb.rotation
+        # ONE streamed pass encodes both code levels chunk-by-chunk; only
+        # the (c, M) uint codes ever cross to host
+        code_parts, ref_parts = [], []
+        for _, piece in stream_encode_pieces(
+            vecs, N, 131072, normalize=normalize
+        ):
+            code = pq_encode(cb, piece)
+            code_parts.append(np.asarray(code))
+            if refine_M:
+                ref_parts.append(np.asarray(
+                    pq_encode(rcb, piece - pq_decode(cb, code))
+                ))
+            del piece, code
+        codes = (
+            np.concatenate(code_parts) if len(code_parts) > 1
+            else code_parts[0]
+        )
+        del code_parts
+        if refine_M:
+            refine_codes_np = (
+                np.concatenate(ref_parts) if len(ref_parts) > 1
+                else ref_parts[0]
+            )
+            del ref_parts
+        v = None
+    else:
+        v = jnp.asarray(vecs, jnp.float32)
+        if normalize:
+            v = normalize_rows(v)
+        N = v.shape[0]
+        if coarse_opq:
             from ..ops.pq import opq_train
 
-            rcb = opq_train(
-                residuals, M=refine_M, Ks=refine_Ks, iters=iters,
-                opq_iters=opq_iters, seed=seed + 1,
+            # learned orthogonal pre-rotation (Ge et al. CVPR'13): coarse
+            # codes quantize rotated vectors; graph distances are
+            # rotation-invariant
+            cb = opq_train(
+                v, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters, seed=seed,
+                train_sample=train_sample,
             )
         else:
-            rcb = pq_train(
-                residuals, M=refine_M, Ks=refine_Ks, iters=iters, seed=seed + 1,
+            cb = pq_train(
+                v, M=M, Ks=Ks, iters=iters, seed=seed,
+                train_sample=train_sample,
             )
-        step = 131072
-        parts = []
-        for s0 in range(0, N, step):
-            res = v[s0 : s0 + step] - pq_decode(
-                cb, jnp.asarray(codes[s0 : s0 + step])
+        codes = np.asarray(pq_encode(cb, v))
+
+        if refine_M:
+            # clamp to the largest divisor of D not above the request (the
+            # default 16 would otherwise reject small toy dims outright)
+            D = int(v.shape[1])
+            refine_M = min(refine_M, D)
+            while D % refine_M:
+                refine_M -= 1
+        if refine_M:
+            # train the residual codebook on a row subsample (faiss-style
+            # points-per-centroid budget), then encode every residual
+            # chunked — a full f32 residual copy is another 8 GB at 1M x 2048
+            rs = min(N, max(16384, 32 * refine_Ks))
+            if rs < N:
+                ridx = np.sort(
+                    np.random.RandomState(seed + 1).choice(
+                        N, rs, replace=False
+                    )
+                )
+                vi = v[jnp.asarray(ridx)]
+                ci = jnp.asarray(codes[ridx])
+            else:
+                vi, ci = v, jnp.asarray(codes)
+            residuals = vi - pq_decode(cb, ci)   # original space
+            if opq:
+                from ..ops.pq import opq_train
+
+                rcb = opq_train(
+                    residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                    opq_iters=opq_iters, seed=seed + 1,
+                )
+            else:
+                rcb = pq_train(
+                    residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                    seed=seed + 1,
+                )
+            step = 131072
+            parts = []
+            for s0 in range(0, N, step):
+                res = v[s0 : s0 + step] - pq_decode(
+                    cb, jnp.asarray(codes[s0 : s0 + step])
+                )
+                parts.append(np.asarray(pq_encode(rcb, res)))
+            refine_codes_np = (
+                np.concatenate(parts, 0) if len(parts) > 1 else parts[0]
             )
-            parts.append(np.asarray(pq_encode(rcb, res)))
-        refine_codes_np = np.concatenate(parts, 0) if len(parts) > 1 else parts[0]
-        refine_cw = rcb.codewords
-        refine_rot = rcb.rotation
+            refine_cw = rcb.codewords
+            refine_rot = rcb.rotation
 
     unique, inverse = np.unique(codes, return_inverse=True, axis=0)
     order = np.argsort(inverse, kind="stable")

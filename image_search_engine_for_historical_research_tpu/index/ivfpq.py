@@ -292,6 +292,7 @@ def build_ivfpq(
     refine_M: int = 0,
     refine_Ks: int = 256,
     split_long: bool = True,
+    n: int = None,
 ) -> IVFPQIndex:
     """Train coarse + residual-PQ quantizers and pack flat inverted lists.
 
@@ -317,11 +318,34 @@ def build_ivfpq(
     lists sharing the original center, so no entry sits beyond the scan
     window (skew on clustered data otherwise caps recall — see the inline
     comment). Oversized lists then occupy several (tied) probe slots.
+
+    **Streaming (beyond-HBM) build**: ``vecs`` may be a CALLABLE returning
+    an iterator of row chunks (each ``(c, D)``, numpy or device arrays) with
+    the total row count passed as ``n=``. The gallery is then never
+    materialized — the training sample is gathered chunk-by-chunk (device
+    chunks gather on device; only the sampled rows cross to host) and the
+    encode pass streams the chunks a second time. This is how a database
+    larger than HBM *and* host RAM is indexed (e.g. 10M x 2048 f32 = 80 GB):
+    chunks can come from a chunked descriptor store (cli/extract_1m.py
+    checkpoints) or be regenerated on device. The sampled rows are restored
+    to ``jax.random.choice`` order, so the trained quantizers — and with
+    chunk sizes aligned to the internal encode grid, the whole index — are
+    bit-identical to the in-memory path (tests/test_index.py). Use uniform
+    chunk sizes: each distinct chunk shape compiles its own encode program.
     """
-    v = jnp.asarray(vecs, jnp.float32)
-    if normalize:
-        v = normalize_rows(v)
-    N, D = v.shape
+    streaming = callable(vecs)
+    if streaming:
+        if n is None:
+            raise ValueError(
+                "build_ivfpq(vecs=<callable>) needs the total row count n="
+            )
+        N = int(n)
+        D = None  # discovered from the first streamed chunk
+    else:
+        v = jnp.asarray(vecs, jnp.float32)
+        if normalize:
+            v = normalize_rows(v)
+        N, D = v.shape
 
     key = jax.random.PRNGKey(seed)
     n_train = max(min(N, 64), int(N * train_fraction))
@@ -329,7 +353,18 @@ def build_ivfpq(
         n_shards = mesh.shape["data"]
         n_train = max(n_shards, (n_train // n_shards) * n_shards)
     sample_idx = jax.random.choice(key, N, shape=(n_train,), replace=False)
-    sample = v[sample_idx]
+    if streaming:
+        # gather the sampled rows chunk-by-chunk in choice order, so the
+        # k-means/PQ fits see the exact row permutation the in-memory path
+        # feeds them (bit-identical fits, tests/test_index.py)
+        from .streaming import stream_gather_rows
+
+        sample = stream_gather_rows(
+            vecs, N, np.asarray(sample_idx), normalize=normalize
+        )
+        D = int(sample.shape[1])
+    else:
+        sample = v[sample_idx]
 
     nlist = min(nlist, N)
     if mesh is not None:
@@ -379,8 +414,18 @@ def build_ivfpq(
         np.empty((N, refine_M), np.uint8 if refine_Ks <= 256 else np.int32)
         if refine_M > 0 else None
     )
-    for s in range(0, N, chunk_rows):
-        part = v[s : s + chunk_rows]
+
+    def _encode_pieces():
+        """Yield (start_row, device_piece<=chunk_rows) over the database."""
+        if not streaming:
+            for s in range(0, N, chunk_rows):
+                yield s, v[s : s + chunk_rows]
+            return
+        from .streaming import stream_encode_pieces
+
+        yield from stream_encode_pieces(vecs, N, chunk_rows, normalize=normalize)
+
+    for s, part in _encode_pieces():
         a = jnp.argmin(c2[None, :] - 2.0 * (part @ coarse_centers.T), axis=1)
         r = part - coarse_centers[a]
         code = pq_encode(cb, r)

@@ -50,3 +50,44 @@ def clustered_db(key, n, d, n_centers=8192, d_eff=64, spread=0.1,
 
     out = gen(jax.random.split(kx, nchunks))
     return out if out.shape[0] == n else out[:n]
+
+
+def clustered_db_chunks(key, n, d, chunk=125000, n_centers=8192, d_eff=64,
+                        spread=0.1):
+    """Callable chunk source for the same distribution as ``clustered_db``,
+    regenerated on device chunk-by-chunk — the beyond-HBM/beyond-host-RAM
+    harness input (10M x 2048 f32 = 80 GB never exists anywhere; each call
+    of the returned function replays the identical deterministic stream).
+
+    Returns ``(chunks_fn, n)`` suitable for
+    ``build_ivfpq(chunks_fn, n=n, ...)`` and for streaming exact
+    ground-truth scans. ``n`` is rounded down to a multiple of ``chunk`` so
+    every chunk compiles one program shape.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    nchunks = max(1, n // chunk)
+    n = nchunks * chunk
+
+    kc, ku, kx = jax.random.split(key, 3)
+    centers_z = jax.random.normal(kc, (n_centers, d_eff), jnp.float32)
+    centers_z = centers_z / jnp.linalg.norm(centers_z, axis=1, keepdims=True)
+    u = jax.random.normal(ku, (d_eff, d), jnp.float32) / (d ** 0.5)
+    chunk_keys = jax.random.split(kx, nchunks)
+
+    @jax.jit
+    def gen_one(k2):
+        ka, kn = jax.random.split(k2)
+        a = jax.random.randint(ka, (chunk,), 0, n_centers)
+        z = centers_z[a] + spread * jax.random.normal(
+            kn, (chunk, d_eff), jnp.float32
+        )
+        x = z @ u
+        return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+    def chunks_fn():
+        for i in range(nchunks):
+            yield gen_one(chunk_keys[i])
+
+    return chunks_fn, n

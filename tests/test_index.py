@@ -268,6 +268,60 @@ class TestIVFPQ:
         assert ivf_sp.coarse_centers.shape[0] > 2
         assert ivf_sp.n == 600
 
+    def test_streaming_build_bit_identical_to_in_memory(self):
+        # vecs as a callable chunk source (beyond-HBM build): the sampled
+        # training rows are restored to choice order, so the fits — and the
+        # whole packed index — match the in-memory path exactly
+        x = clustered(900, 32, k=11, seed=5)
+        kw = dict(nlist=8, M=4, Ks=32, nprobe=8, refine_M=4)
+        mem = build_ivfpq(x, **kw)
+        stream = build_ivfpq(
+            lambda: (x[s : s + 300] for s in range(0, 900, 300)),
+            n=900, **kw,
+        )
+        for f in ("coarse_centers", "codewords", "flat_codes", "flat_ids",
+                  "offsets", "lens", "flat_refine", "flat_list"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mem, f)), np.asarray(getattr(stream, f)), f
+            )
+        q = x[:7]
+        _, i_m = mem.search(q, 10)
+        _, i_s = stream.search(q, 10)
+        np.testing.assert_array_equal(np.asarray(i_m), np.asarray(i_s))
+
+        # device-resident chunks (on-device gather + scatter order restore)
+        # are exact too
+        import jax.numpy as jnp
+
+        dev = build_ivfpq(
+            lambda: (jnp.asarray(x[s : s + 300]) for s in range(0, 900, 300)),
+            n=900, **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mem.flat_codes), np.asarray(dev.flat_codes)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mem.flat_refine), np.asarray(dev.flat_refine)
+        )
+
+    def test_streaming_build_device_chunks(self):
+        # device-resident chunks take the on-device gather branch (only the
+        # sampled rows cross to host) and uneven chunk sizes still pack n rows
+        import jax.numpy as jnp
+
+        x = clustered(700, 16, k=7, seed=9)
+        chunks = [jnp.asarray(x[:256]), jnp.asarray(x[256:512]),
+                  jnp.asarray(x[512:])]
+        ivf = build_ivfpq(lambda: iter(chunks), n=700, nlist=8, M=4, Ks=16,
+                          nprobe=8)
+        assert ivf.n == 700
+        _, idx = ivf.search(x[:10], 5)
+        assert np.mean(np.asarray(idx)[:, 0] == np.arange(10)) > 0.8
+        with pytest.raises(ValueError, match="n="):
+            build_ivfpq(lambda: iter(chunks), nlist=8, M=4, Ks=16)
+        with pytest.raises(ValueError, match="yielded"):
+            build_ivfpq(lambda: iter(chunks), n=9999, nlist=8, M=4, Ks=16)
+
     def test_refine_requires_refine_codes(self):
         x = clustered(300, 16, k=7)
         plain = build_ivfpq(x, nlist=8, M=4, Ks=16, nprobe=8)

@@ -221,6 +221,50 @@ class TestHNSWPQ:
         with pytest.raises(ValueError, match="opq"):
             build_hnsw_pq(x, M=8, Ks=32, opq="both")
 
+    def test_streaming_build_bit_identical_to_in_memory(self, data):
+        """vecs as a callable chunk source (beyond-HBM/host-RAM build): the
+        gathered fit + refine samples use pq_train's own index rule, so with
+        the same explicit train_sample every artifact — codewords, codes,
+        unique dedup, refine codes — matches the in-memory build exactly,
+        including the hybrid opq="refine" mode."""
+        x, q, exact = data
+        kw = dict(M=8, Ks=32, m=8, ef_construction=64, iters=8,
+                  refine_M=8, train_sample=256, opq="refine", opq_iters=3)
+        mem = build_hnsw_pq(x, **kw)
+        st = build_hnsw_pq(
+            lambda: (x[s : s + 300] for s in range(0, x.shape[0], 300)),
+            n=x.shape[0], **kw,
+        )
+        for f in ("codewords", "unique_codes", "refine_codes",
+                  "refine_codewords", "refine_rotation", "group_offsets",
+                  "group_members"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mem, f)), np.asarray(getattr(st, f)), f
+            )
+        _, im = mem.search(q, 10, method="adc+refine")
+        _, ist = st.search(q, 10, method="adc+refine")
+        np.testing.assert_array_equal(np.asarray(im), np.asarray(ist))
+
+        # device-resident chunks (on-device gather) are exact too, and the
+        # search stays useful
+        dev = build_hnsw_pq(
+            lambda: (jnp.asarray(x[s : s + 300])
+                     for s in range(0, x.shape[0], 300)),
+            n=x.shape[0], **kw,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mem.refine_codes), np.asarray(dev.refine_codes)
+        )
+        # quality sanity only — the 256-row train_sample (needed for the
+        # bit-parity comparison) caps fit quality below the full-data builds
+        assert recall_at(exact, ist, 10) >= 0.7
+
+        with pytest.raises(ValueError, match="n="):
+            build_hnsw_pq(lambda: iter([x]), M=8, Ks=32)
+        with pytest.raises(ValueError, match="yielded"):
+            build_hnsw_pq(lambda: iter([x]), n=7, M=8, Ks=32,
+                          train_sample=4, refine_M=0)
+
     def test_save_load(self, data, tmp_path):
         x, q, _ = data
         ix = build_hnsw_pq(x, M=4, Ks=16, m=4, ef_construction=16)
