@@ -76,6 +76,7 @@ def build_pq(
     pack4: bool = False,
     opq: bool = False,
     opq_iters: int = 10,
+    n: int | None = None,
 ) -> PQIndex:
     """Train codebooks on the database and encode it (nnsearch.py:879-891).
 
@@ -84,7 +85,60 @@ def build_pq(
     (offline.py:109 ``N_books=16, n_bits_perbook=13``); above Ks=2048 the fit
     subsamples and runs bf16 assignment matmuls unless overridden
     (see ``ops.pq.pq_train``).
+
+    **Streaming (beyond-HBM/host-RAM) build**: ``vecs`` may be a CALLABLE
+    yielding ``(c, D)`` row chunks with the total row count as ``n=`` (same
+    contract as ``build_ivfpq``/``build_hnsw_pq``; see ``index/streaming.py``).
+    The fit trains on a gathered sample (``pq_train``'s own index rule, so
+    bit-identical to in-memory at the same explicit ``train_sample``) and the
+    encode pass streams the source; only the (N, M) codes ever materialize.
     """
+    if callable(vecs):
+        if n is None:
+            raise ValueError(
+                "build_pq(vecs=<callable>) needs the total row count n="
+            )
+        from .streaming import stream_encode_pieces, stream_gather_rows
+
+        N = int(n)
+        ts = min(N, train_sample if train_sample is not None
+                 else max(65536, 32 * Ks))
+        fit_idx = (
+            np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
+            if ts < N else np.arange(N)
+        )
+        fit_rows = stream_gather_rows(vecs, N, fit_idx, normalize=normalize)
+        if opq:
+            cb = opq_train(
+                fit_rows, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters,
+                seed=seed, train_sample=int(fit_rows.shape[0]), mesh=mesh,
+            )
+        else:
+            cb = pq_train(
+                fit_rows, M=M, Ks=Ks, iters=iters, seed=seed,
+                train_sample=int(fit_rows.shape[0]), mesh=mesh,
+            )
+        del fit_rows
+        # encode stays on device end-to-end: each piece's codes concatenate
+        # in HBM (320 MB uint16 at 10M x 16) — no host round trip
+        parts = [
+            pq_encode(cb, piece)
+            for _, piece in stream_encode_pieces(
+                vecs, N, 131072, normalize=normalize
+            )
+        ]
+        codes = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        del parts
+        if pack4:
+            if Ks > 16:
+                raise ValueError(
+                    "pack4 requires Ks <= 16 (the Quick-ADC geometry)"
+                )
+            codes = pq_pack4(codes)
+        return PQIndex(codewords=cb.codewords, codes=codes,
+                       normalized=normalize, packed4=pack4,
+                       rotation=cb.rotation)
+
     v = jnp.asarray(vecs)
     if normalize:
         v = normalize_rows(v)

@@ -115,6 +115,29 @@ class TestPQ:
         assert top1_in_10 >= 0.95, top1_in_10
         assert top10_in_50 > 0.8, top10_in_50
 
+    def test_streaming_build_bit_identical_to_in_memory(self):
+        # callable chunk source + n= (beyond-RAM build): same explicit
+        # train_sample -> bit-identical codewords and codes, incl. OPQ
+        x = clustered(900, 32, k=11, seed=5)
+        for kw in (dict(M=4, Ks=32, train_sample=256),
+                   dict(M=4, Ks=32, train_sample=256, opq=True, opq_iters=2)):
+            mem = build_pq(x, **kw)
+            st = build_pq(
+                lambda: (x[s : s + 300] for s in range(0, 900, 300)),
+                n=900, **kw,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(mem.codewords), np.asarray(st.codewords)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(mem.codes), np.asarray(st.codes)
+            )
+            _, im = mem.search(x[:7], 10)
+            _, ist = st.search(x[:7], 10)
+            np.testing.assert_array_equal(np.asarray(im), np.asarray(ist))
+        with pytest.raises(ValueError, match="n="):
+            build_pq(lambda: iter([x]), M=4, Ks=32)
+
 
 class TestPQLargeKs:
     """The reference driver's operating point is Ks=2^13 (offline.py:109,116);
