@@ -35,6 +35,12 @@ def build_parser():
     p.add_argument("--bf16", action="store_true",
                    help="run the conv stack in bfloat16 (MXU fast path; "
                         "descriptors agree with f32 to ~1e-3 cosine)")
+    p.add_argument("--shard-size", type=int, default=0,
+                   help="write per-chunk shard files instead of one array "
+                        "(data.store sharded format): the beyond-host-RAM "
+                        "path — descriptors never assemble into one (N, D) "
+                        "buffer, and data.chunked_feature_source feeds them "
+                        "straight to the streaming index builders")
     return p
 
 
@@ -65,6 +71,30 @@ def main(argv=None):
             model.module, scales=scales,
             compute_dtype=jnp.bfloat16 if args.bf16 else None,
         )
+
+    if args.shard_size:
+        # beyond-host-RAM mode: each extracted chunk persists as its own
+        # atomic shard; resume = first row past the contiguous shard prefix
+        from ..data import save_feature_shard, shard_resume_point
+
+        start = shard_resume_point(args.dataset, root=args.outputs)
+        if start:
+            print(f">> resuming at {start}/{len(paths)} (complete shards)")
+        for s in range(start, len(paths), args.shard_size):
+            chunk = paths[s : s + args.shard_size]
+            v = extract_vectors(
+                model, chunk, args.image_size, scales=scales,
+                batch_size=args.batch_size, extract_fn=fn,
+                pad_batches=args.mesh, loader=args.loader,
+            )
+            save_feature_shard(
+                args.dataset, s, np.asarray(v),
+                cfg["imlist"][s : s + len(chunk)], root=args.outputs,
+            )
+            print(f">> {s + len(chunk)}/{len(paths)} done (sharded)")
+        print(">> distractor feature shards stored; build indexes with "
+              "data.chunked_feature_source + the streaming builders")
+        return 0
 
     ckpt = os.path.join(args.outputs, f"{args.dataset}_partial.npz")
     start = 0

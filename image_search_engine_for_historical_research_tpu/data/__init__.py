@@ -15,7 +15,15 @@ from .images import (
     save_rank_montage,
     unnormalize,
 )
-from .store import feature_path, load_path_features, save_path_feature
+from .store import (
+    chunked_feature_relpaths,
+    chunked_feature_source,
+    feature_path,
+    load_path_features,
+    save_feature_shard,
+    save_path_feature,
+    shard_resume_point,
+)
 
 __all__ = [
     "DATASETS", "configdataset", "query_bbxs", "read_imlist",

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import List, Sequence, Tuple
+import re
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 
@@ -66,3 +67,112 @@ def load_path_features(dataset: str, root: str = "outputs") -> Tuple[np.ndarray,
             vecs = vecs.T
         return vecs.astype(np.float32), paths
     raise FileNotFoundError(f"no feature store for {dataset!r} under {root}")
+
+
+# ---------------------------------------------------------------------------
+# Sharded feature store: the beyond-host-RAM handoff. At 10M x 2048 f32 the
+# single-array store above is an 80 GB load the reference's pickle contract
+# (general.py:67-92) could never serve; shards keep extraction resumable
+# (cli/extract_1m.py --shard-size) and feed the streaming index builders
+# (index.build_pq / build_ivfpq / build_hnsw_pq with vecs=<callable>, n=)
+# one chunk at a time.
+# ---------------------------------------------------------------------------
+
+_SHARD_RE = re.compile(r"shard_(\d{12})_(\d{8})\.npz$")
+
+
+def shards_dir(root: str, dataset: str) -> str:
+    return os.path.join(root, "features", f"{_safe_name(dataset)}_shards")
+
+
+def save_feature_shard(
+    dataset: str,
+    start: int,
+    vecs: np.ndarray,
+    img_r_path: Sequence[str],
+    root: str = "outputs",
+) -> str:
+    """Persist rows ``[start, start+len(vecs))`` as one shard file.
+
+    The write is atomic (tmp + rename), so a crash mid-write never leaves a
+    truncated shard that resume logic would count as complete.
+    """
+    vecs = np.asarray(vecs, np.float32)
+    if vecs.ndim != 2:
+        raise ValueError("features must be 2-D (num_images, dim)")
+    if len(img_r_path) != vecs.shape[0]:
+        raise ValueError("one path per feature row required")
+    d = shards_dir(root, dataset)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"shard_{start:012d}_{vecs.shape[0]:08d}.npz")
+    tmp = path + ".tmp"
+    np.savez(
+        tmp,
+        paths=np.asarray(list(img_r_path), dtype=np.str_),
+        features=vecs,
+    )
+    # np.savez appends .npz to names without it
+    os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
+    return path
+
+
+def _list_shards(dataset: str, root: str) -> List[Tuple[int, int, str]]:
+    """Contiguous-from-0 prefix of (start, count, path), sorted by start."""
+    d = shards_dir(root, dataset)
+    if not os.path.isdir(d):
+        return []
+    found = []
+    for f in sorted(os.listdir(d)):
+        m = _SHARD_RE.match(f)
+        if m:
+            found.append((int(m.group(1)), int(m.group(2)), os.path.join(d, f)))
+    out, expect = [], 0
+    for start, count, p in found:
+        if start != expect:
+            break  # hole (or stale overlap) — everything after is unusable
+        out.append((start, count, p))
+        expect = start + count
+    return out
+
+
+def shard_resume_point(dataset: str, root: str = "outputs") -> int:
+    """First row NOT yet covered by a contiguous complete-shard prefix."""
+    shards = _list_shards(dataset, root)
+    return shards[-1][0] + shards[-1][1] if shards else 0
+
+
+def chunked_feature_source(
+    dataset: str, root: str = "outputs"
+) -> Tuple[Callable, int]:
+    """Return ``(chunks_fn, n)`` for the streaming index builders.
+
+    ``chunks_fn()`` lazily yields each shard's ``(c, D)`` feature block —
+    one shard resident at a time — and may be called repeatedly (the
+    builders stream the source once per pass). Usage::
+
+        chunks_fn, n = chunked_feature_source("revisitop10m")
+        ix = index.build_hnsw_pq(chunks_fn, n=n, opq="refine")
+    """
+    shards = _list_shards(dataset, root)
+    if not shards:
+        raise FileNotFoundError(
+            f"no feature shards for {dataset!r} under {root} "
+            f"(expected {shards_dir(root, dataset)}/shard_*.npz)"
+        )
+    n = shards[-1][0] + shards[-1][1]
+
+    def chunks_fn():
+        for _, _, p in shards:
+            z = np.load(p, allow_pickle=False)
+            yield z["features"]
+
+    return chunks_fn, n
+
+
+def chunked_feature_relpaths(dataset: str, root: str = "outputs") -> List[str]:
+    """All image relative paths across the shard prefix, in row order."""
+    out: List[str] = []
+    for _, _, p in _list_shards(dataset, root):
+        z = np.load(p, allow_pickle=False)
+        out.extend(str(s) for s in z["paths"])
+    return out

@@ -84,6 +84,56 @@ class TestStore:
         v, p = data.load_path_features("GLM/test", root=str(tmp_path))
         assert v.shape == (2, 3)
 
+    def test_sharded_store_roundtrip_and_resume(self, tmp_path):
+        root = str(tmp_path)
+        rng = np.random.default_rng(2)
+        vecs = rng.standard_normal((10, 4)).astype(np.float32)
+        paths = [f"im{i}.jpg" for i in range(10)]
+        assert data.shard_resume_point("big", root=root) == 0
+        data.save_feature_shard("big", 0, vecs[:4], paths[:4], root=root)
+        data.save_feature_shard("big", 4, vecs[4:7], paths[4:7], root=root)
+        # resume point = contiguous prefix end
+        assert data.shard_resume_point("big", root=root) == 7
+        data.save_feature_shard("big", 7, vecs[7:], paths[7:], root=root)
+
+        chunks_fn, n = data.chunked_feature_source("big", root=root)
+        assert n == 10
+        got = np.concatenate(list(chunks_fn()))
+        np.testing.assert_allclose(got, vecs)
+        # re-iterable (the streaming builders make several passes)
+        assert sum(c.shape[0] for c in chunks_fn()) == 10
+        assert data.chunked_feature_relpaths("big", root=root) == paths
+
+    def test_sharded_store_ignores_hole_and_feeds_streaming_build(
+        self, tmp_path
+    ):
+        root = str(tmp_path)
+        vecs = np.random.default_rng(3).standard_normal((9, 8)).astype(
+            np.float32
+        )
+        data.save_feature_shard("holey", 0, vecs[:3], ["a", "b", "c"],
+                                root=root)
+        # rows 3..5 missing: the later shard must NOT count as complete
+        data.save_feature_shard("holey", 6, vecs[6:], ["g", "h", "i"],
+                                root=root)
+        assert data.shard_resume_point("holey", root=root) == 3
+        chunks_fn, n = data.chunked_feature_source("holey", root=root)
+        assert n == 3
+
+        with pytest.raises(FileNotFoundError):
+            data.chunked_feature_source("absent", root=root)
+
+        # end-to-end: shards -> streaming PQ build
+        from image_search_engine_for_historical_research_tpu import index
+
+        data.save_feature_shard(
+            "holey", 3, vecs[3:6], ["d", "e", "f"], root=root
+        )
+        chunks_fn, n = data.chunked_feature_source("holey", root=root)
+        assert n == 9
+        ix = index.build_pq(chunks_fn, n=n, M=4, Ks=8, train_sample=9)
+        assert int(ix.n) == 9
+
 
 class TestDatasets:
     def test_configdataset_revisited_synthetic(self, tmp_path):

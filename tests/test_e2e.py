@@ -557,3 +557,31 @@ def test_extract_1m_cli_resume_and_native_loader(small_model, monkeypatch, tmp_p
     vecs2, _ = load_path_features("revisitop1m", root=str(out))
     np.testing.assert_allclose(vecs2[:4], sentinel[:4], atol=1e-6)
     np.testing.assert_allclose(vecs2[4:], vecs[4:], atol=1e-5)
+
+    # sharded (beyond-host-RAM) mode: per-chunk shard files instead of one
+    # (N, D) buffer; the chunk source feeds the streaming index builders
+    assert extract_1m.main(common_args + ["--shard-size", "4"]) == 0
+    from image_search_engine_for_historical_research_tpu.data import (
+        chunked_feature_relpaths,
+        chunked_feature_source,
+        shard_resume_point,
+        store,
+    )
+
+    chunks_fn, n = chunked_feature_source("revisitop1m", root=str(out))
+    assert n == 6
+    np.testing.assert_allclose(
+        np.concatenate(list(chunks_fn())), vecs, atol=1e-5
+    )
+    assert chunked_feature_relpaths("revisitop1m", root=str(out)) == names
+
+    # resume: drop the tail shard; the rerun re-extracts only rows 4..6
+    shards = store._list_shards("revisitop1m", str(out))
+    os.remove(shards[-1][2])
+    assert shard_resume_point("revisitop1m", root=str(out)) == 4
+    assert extract_1m.main(common_args + ["--shard-size", "4"]) == 0
+    chunks_fn, n = chunked_feature_source("revisitop1m", root=str(out))
+    assert n == 6
+    np.testing.assert_allclose(
+        np.concatenate(list(chunks_fn())), vecs, atol=1e-5
+    )
