@@ -31,4 +31,6 @@ __all__ = [
     "iter_test_images", "load_test_image", "load_train_image", "path_all_jpg",
     "pil_loader", "save_rank_montage", "unnormalize",
     "feature_path", "load_path_features", "save_path_feature",
+    "chunked_feature_relpaths", "chunked_feature_source",
+    "save_feature_shard", "shard_resume_point",
 ]

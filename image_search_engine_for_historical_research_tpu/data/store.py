@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 import pickle
 import re
+import warnings
 from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
@@ -128,8 +129,20 @@ def _list_shards(dataset: str, root: str) -> List[Tuple[int, int, str]]:
             found.append((int(m.group(1)), int(m.group(2)), os.path.join(d, f)))
     out, expect = [], 0
     for start, count, p in found:
-        if start != expect:
-            break  # hole (or stale overlap) — everything after is unusable
+        if start < expect:
+            # stale leftover from an older --shard-size grid whose rows the
+            # prefix already covers; skipping (not breaking) lets resume
+            # advance past it — breaking here would pin the resume point
+            # forever (every rerun would rewrite the same next shard and
+            # stop at this file again)
+            warnings.warn(
+                f"ignoring stale overlapping feature shard {p} "
+                f"(covers rows {start}..{start + count}, prefix already "
+                f"at {expect}); delete it to silence this warning"
+            )
+            continue
+        if start > expect:
+            break  # genuine hole — everything after is unusable
         out.append((start, count, p))
         expect = start + count
     return out

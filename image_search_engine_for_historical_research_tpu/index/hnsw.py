@@ -25,7 +25,7 @@ import numpy as np
 
 from ..native import load as load_native
 from ..ops.graph_search import hnsw_search_batch, hnsw_search_batch_pq
-from ..ops.pq import PQCodebook, pq_decode, pq_encode, pq_train
+from ..ops.pq import PQCodebook, pq_decode, pq_encode, pq_train, train_indices
 from .base import normalize_rows, register
 
 MAX_LEVELS = 6
@@ -495,6 +495,7 @@ def build_hnsw_pq(
     opq: bool = False,
     opq_iters: int = 10,
     n: Optional[int] = None,
+    max_graph_bytes: int = 12 << 30,
 ) -> HNSWPQIndex:
     """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683).
 
@@ -560,22 +561,14 @@ def build_hnsw_pq(
         N = int(n)
         ts = min(N, train_sample if train_sample is not None
                  else max(65536, 32 * Ks))
-        # the exact index rule pq_train/opq_train use internally, so the
-        # streamed fit is bit-identical to an in-memory build given the
-        # same explicit train_sample (tests/test_index_graph.py)
-        fit_idx = (
-            np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
-            if ts < N else np.arange(N)
-        )
+        # ops.pq.train_indices IS the rule pq_train/opq_train use
+        # internally, so the streamed fit is bit-identical to an in-memory
+        # build given the same explicit train_sample (tests/test_index_graph.py)
+        fit_idx = train_indices(N, ts, seed) if ts < N else np.arange(N)
         ridx = None
         if refine_M:
             rs = min(N, max(16384, 32 * refine_Ks))
-            ridx = (
-                np.sort(np.random.RandomState(seed + 1).choice(
-                    N, rs, replace=False
-                ))
-                if rs < N else np.arange(N)
-            )
+            ridx = train_indices(N, rs, seed + 1) if rs < N else np.arange(N)
         gathered = stream_gather_rows(
             vecs, N, [fit_idx] + ([ridx] if refine_M else []),
             normalize=normalize,
@@ -590,9 +583,18 @@ def build_hnsw_pq(
             while D % refine_M:
                 refine_M -= 1
         if coarse_opq:
+            # pass explicit train_sample through (all gathered rows — the
+            # bit-parity contract with in-memory), but keep None as None:
+            # pinning it to the 32*Ks gather would override opq_train's
+            # tiered 8*Ks-rotation / 16*Ks-final-fit budgets and re-create
+            # the measured OOM pattern (ops/pq.py:141-145) at Ks=2^13
             cb = opq_train(
                 fit_rows, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters,
-                seed=seed, train_sample=int(fit_rows.shape[0]),
+                seed=seed,
+                train_sample=(
+                    int(fit_rows.shape[0]) if train_sample is not None
+                    else None
+                ),
             )
         else:
             cb = pq_train(
@@ -680,11 +682,7 @@ def build_hnsw_pq(
             # chunked — a full f32 residual copy is another 8 GB at 1M x 2048
             rs = min(N, max(16384, 32 * refine_Ks))
             if rs < N:
-                ridx = np.sort(
-                    np.random.RandomState(seed + 1).choice(
-                        N, rs, replace=False
-                    )
-                )
+                ridx = train_indices(N, rs, seed + 1)
                 vi = v[jnp.asarray(ridx)]
                 ci = jnp.asarray(codes[ridx])
             else:
@@ -735,16 +733,46 @@ def build_hnsw_pq(
     if builder == "tpu":
         from .graph_build import build_hnsw_graph_tpu
 
-        # chunked on-device decode straight to bf16 (a full f32 decode is
-        # 8 GB at 1M unique codes)
+        # the unique-code graph lives decoded in HBM: refuse clearly when it
+        # cannot fit instead of OOMing mid-build (which wedges the TPU worker
+        # for minutes). Dedup is scale-limited: at 1M/Ks=2^13 ~16% of codes
+        # are unique, but at 10M the same Ks measured ~93% unique (9.3M — a
+        # Ks=8192-words-per-subspace cell grid cannot give 82k clusters one
+        # word each, so cells cut through clusters), i.e. a 38 GB decode.
+        # The >= 10M codes-only regime belongs to build_ivfpq(refine_M=...),
+        # matching the reference's own IVF switch at scale (knn.py:43-54).
+        graph_bytes = int(U) * int(
+            codewords.shape[0] * codewords.shape[2]
+        ) * 2
+        if graph_bytes > max_graph_bytes:
+            raise ValueError(
+                f"unique-code graph needs {graph_bytes / 2**30:.1f} GiB "
+                f"decoded ({U} unique codes) — over the max_graph_bytes "
+                f"budget ({max_graph_bytes / 2**30:.1f} GiB). PQ dedup "
+                "collapses at this scale/Ks; use build_ivfpq(refine_M=...) "
+                "for the beyond-graph regime, or raise max_graph_bytes if "
+                "the device really has the memory."
+            )
+        # chunked on-device decode straight to bf16, written in place into
+        # one donated pre-allocated buffer: a concatenate-of-parts would
+        # hold parts + output simultaneously (2x U*D*2 bytes — at the 10M
+        # regime's ~2M unique codes that is 2 x 7.8 GB and OOMs); donation
+        # caps the peak at the buffer plus one f32 chunk decode
         uq = jnp.asarray(unique)
         step = 131072
-        decoded_dev = jnp.concatenate([
-            pq_decode(PQCodebook(codewords), uq[s : s + step]).astype(
-                jnp.bfloat16
+        D_full = codewords.shape[0] * codewords.shape[2]
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _fill(buf, cw, chunk, start):
+            dec = pq_decode(PQCodebook(cw), chunk).astype(buf.dtype)
+            return jax.lax.dynamic_update_slice(buf, dec, (start, 0))
+
+        decoded_dev = jnp.zeros((U, D_full), jnp.bfloat16)
+        for s in range(0, U, step):
+            decoded_dev = _fill(
+                decoded_dev, codewords, uq[s : s + step], jnp.int32(s)
             )
-            for s in range(0, U, step)
-        ], axis=0)
+        del uq
         nbr0, nbru, levels, entry, top = build_hnsw_graph_tpu(
             decoded_dev, m=m, m0=m0, seed=seed
         )

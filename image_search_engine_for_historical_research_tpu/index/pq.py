@@ -14,7 +14,15 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pq import PQCodebook, opq_train, pq_encode, pq_pack4, pq_search, pq_train
+from ..ops.pq import (
+    PQCodebook,
+    opq_train,
+    pq_encode,
+    pq_pack4,
+    pq_search,
+    pq_train,
+    train_indices,
+)
 from .base import normalize_rows, register
 
 
@@ -103,15 +111,24 @@ def build_pq(
         N = int(n)
         ts = min(N, train_sample if train_sample is not None
                  else max(65536, 32 * Ks))
-        fit_idx = (
-            np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
-            if ts < N else np.arange(N)
-        )
+        # ops.pq.train_indices IS pq_train/opq_train's internal rule: the
+        # streamed fit stays bit-identical to in-memory at the same explicit
+        # train_sample
+        fit_idx = train_indices(N, ts, seed) if ts < N else np.arange(N)
         fit_rows = stream_gather_rows(vecs, N, fit_idx, normalize=normalize)
         if opq:
+            # explicit train_sample passes through (bit-parity with the
+            # in-memory build); None stays None so opq_train's tiered
+            # 8*Ks-rotation / 16*Ks-final-fit budgets apply instead of the
+            # full 32*Ks gather (which OOMs at Ks=2^13, ops/pq.py:141-145)
             cb = opq_train(
                 fit_rows, M=M, Ks=Ks, iters=iters, opq_iters=opq_iters,
-                seed=seed, train_sample=int(fit_rows.shape[0]), mesh=mesh,
+                seed=seed,
+                train_sample=(
+                    int(fit_rows.shape[0]) if train_sample is not None
+                    else None
+                ),
+                mesh=mesh,
             )
         else:
             cb = pq_train(

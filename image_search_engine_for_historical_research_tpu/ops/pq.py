@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .kmeans import kmeans_fit, kmeans_fit_batched, kmeans_fit_sharded
 
@@ -48,6 +49,19 @@ class PQCodebook(NamedTuple):
 LARGE_KS = 2048  # above this, default to bf16 assignment matmuls + subsampled fit
 
 
+def train_indices(n_rows: int, n_sample: int, seed: int) -> np.ndarray:
+    """The canonical fit-row sampling rule: sorted no-replacement choice.
+
+    ONE source of truth shared by ``pq_train``/``opq_train`` and the
+    streaming builders (``index/pq.py``, ``index/hnsw.py``): the
+    streamed-vs-in-memory bit-identity guarantee (tests, BASELINE.md) rests
+    on every site drawing the same indices for the same
+    ``(n_rows, n_sample, seed)``."""
+    return np.sort(
+        np.random.RandomState(seed).choice(n_rows, n_sample, replace=False)
+    )
+
+
 def pq_train(
     vecs: jnp.ndarray,
     M: int = 16,
@@ -73,8 +87,6 @@ def pq_train(
     (faiss-style points-per-centroid budget). Both are overridable; the full
     database is always encoded exactly afterwards.
     """
-    import numpy as np
-
     N, D = vecs.shape
     if D % M:
         raise ValueError(f"dim {D} not divisible by M={M}")
@@ -88,10 +100,7 @@ def pq_train(
         init = "points"  # k-means++ is a sequential k-step scan: minutes at 2^13
     fit_vecs = vecs
     if train_sample is not None and train_sample < N:
-        idx = np.sort(
-            np.random.RandomState(seed).choice(N, train_sample, replace=False)
-        )
-        fit_vecs = vecs[jnp.asarray(idx)]
+        fit_vecs = vecs[jnp.asarray(train_indices(N, train_sample, seed))]
     keys = jax.random.split(jax.random.PRNGKey(seed), M)
     centers = []
     for m in range(M):
@@ -132,8 +141,6 @@ def opq_train(
     (faiss-style points-per-centroid budget) with short inner Lloyd runs;
     the returned codebook carries the final full-``iters`` fit.
     """
-    import numpy as np
-
     v = jnp.asarray(vecs, jnp.float32)
     N, D = v.shape
     if D % M:
@@ -151,8 +158,7 @@ def opq_train(
         d = mesh.devices.size
         ts = max(d, (ts // d) * d)
     if ts < N:
-        ridx = np.sort(np.random.RandomState(seed).choice(N, ts, replace=False))
-        x = v[jnp.asarray(ridx)]
+        x = v[jnp.asarray(train_indices(N, ts, seed))]
     else:
         x = v
     R = jnp.eye(D, dtype=jnp.float32)
@@ -182,7 +188,7 @@ def opq_train(
         del x
     else:
         del x
-        fidx = np.sort(np.random.RandomState(seed + 7).choice(N, fs, replace=False))
+        fidx = train_indices(N, fs, seed + 7)
         step = 65536
         parts = []
         for s in range(0, fs, step):

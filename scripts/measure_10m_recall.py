@@ -44,6 +44,20 @@ def main():
     p.add_argument("--chunk", type=int, default=125_000)
     p.add_argument("--nlist", type=int, default=8192)
     p.add_argument("--nprobe", type=int, default=64)
+    p.add_argument(
+        "--nprobes", type=lambda s: [int(x) for x in s.split(",")],
+        default=[64, 128],
+        help="adc+refine nprobe sweep (one build, several searches) — "
+        "separates probe-coverage misses (recall climbs with nprobe) from "
+        "code-noise misses (recall saturates)",
+    )
+    p.add_argument(
+        "--expands", type=lambda s: [int(x) for x in s.split(",")] if s
+        else [], default=[],
+        help="extra adc+refine sweeps at max(nprobes) varying the expand*k "
+        "refine shortlist — separates ADC-ordering dropouts (recall climbs "
+        "with expand) from probe-coverage misses",
+    )
     p.add_argument("--m", type=int, default=16)
     p.add_argument("--refine-m", type=int, default=32)
     p.add_argument("--train-fraction", type=float, default=0.02)
@@ -155,8 +169,12 @@ def main():
             "index_mb": round(code_bytes / 2**20, 1),
             "seconds": round(build_s, 1),
         }), flush=True)
-        sweeps = [("adc", {}), ("adc+refine", {}),
-                  ("adc+refine", {"nprobe": 128})]
+        sweeps = [("adc", {})] + [
+            ("adc+refine", {"nprobe": p}) for p in args.nprobes
+        ] + [
+            ("adc+refine", {"nprobe": max(args.nprobes), "expand": e})
+            for e in args.expands
+        ]
 
     for method, kw in sweeps:
         t0 = time.time()

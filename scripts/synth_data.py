@@ -67,6 +67,9 @@ def clustered_db_chunks(key, n, d, chunk=125000, n_centers=8192, d_eff=64,
     import jax
     import jax.numpy as jnp
 
+    # shrink the chunk rather than round n UP: a debug-sized --n 1000 must
+    # not silently become one full 125k chunk on the shared chip
+    chunk = min(chunk, n)
     nchunks = max(1, n // chunk)
     n = nchunks * chunk
 

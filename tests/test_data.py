@@ -134,6 +134,34 @@ class TestStore:
         ix = index.build_pq(chunks_fn, n=n, M=4, Ks=8, train_sample=9)
         assert int(ix.n) == 9
 
+    def test_stale_regridded_shard_does_not_wedge_resume(self, tmp_path):
+        """A leftover shard from an older --shard-size grid must be skipped
+        (with a warning), not pin the resume point forever: the scenario is
+        shards (0,3),(3,3),(6,3) where the middle one is deleted and
+        extraction re-runs with --shard-size 4."""
+        root = str(tmp_path)
+        vecs = np.arange(48, dtype=np.float32).reshape(12, 4)
+        paths = [f"p{i}" for i in range(12)]
+        data.save_feature_shard("re", 0, vecs[:3], paths[:3], root=root)
+        data.save_feature_shard("re", 6, vecs[6:9], paths[6:9], root=root)
+        # resume at 3 (hole), re-extract with the new grid size 4
+        assert data.shard_resume_point("re", root=root) == 3
+        data.save_feature_shard("re", 3, vecs[3:7], paths[3:7], root=root)
+        # the stale (6,3) shard overlaps the prefix end (7) — it must be
+        # skipped so the NEXT shard written at 7 counts
+        with pytest.warns(UserWarning, match="stale overlapping"):
+            assert data.shard_resume_point("re", root=root) == 7
+        data.save_feature_shard("re", 7, vecs[7:11], paths[7:11], root=root)
+        with pytest.warns(UserWarning, match="stale overlapping"):
+            assert data.shard_resume_point("re", root=root) == 11
+        with pytest.warns(UserWarning):
+            chunks_fn, n = data.chunked_feature_source("re", root=root)
+        assert n == 11
+        got = np.concatenate(list(chunks_fn()))
+        np.testing.assert_allclose(got, vecs[:11])  # no duplicated rows
+        with pytest.warns(UserWarning):
+            assert data.chunked_feature_relpaths("re", root=root) == paths[:11]
+
 
 class TestDatasets:
     def test_configdataset_revisited_synthetic(self, tmp_path):

@@ -109,6 +109,16 @@ class TestHNSWPQ:
             p1 = np.mean(lab[np.asarray(i)[:, 0]] == np.arange(25))
             assert p1 >= 0.9, (b, p1)
 
+    def test_tpu_builder_refuses_over_budget_graph(self, data):
+        """When PQ dedup collapses (measured: 9.3M unique codes at 10M /
+        Ks=2^13 — a 38 GB decoded graph), the tpu builder must raise a clear
+        error BEFORE allocating, not OOM mid-build and wedge the worker."""
+        x, _, _ = data
+        with pytest.raises(ValueError, match="max_graph_bytes"):
+            build_hnsw_pq(
+                x, M=8, Ks=32, m=8, builder="tpu", max_graph_bytes=64
+            )
+
     def test_adc_route_reaches_full_scan_recall(self, data):
         """The default (auto->adc) route must match the plain full-scan ADC's
         shortlist recall — the VERDICT r2 requirement that PQ_HNSW stop being
