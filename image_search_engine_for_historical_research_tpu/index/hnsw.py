@@ -316,7 +316,9 @@ class HNSWPQIndex:
           HBM (>= 10M codes) or for strict reference-parity studies.
         - ``"graph+refine"``: the beam walk (ef-wide shortlist, ``n_seeds``
           coarse-ADC entry points) + the refine re-rank — beyond-HBM traffic
-          *and* re-ranked recall.
+          *and* re-ranked recall. Measured 1M/hybrid-OPQ operating point:
+          ``ef=320, n_seeds=32`` gives recall@100 = 0.936 at 14.7 ms/q
+          (saturates by ef=480 — graph-quality-bound; BASELINE.md).
         - ``"auto"`` (default): ``"adc+refine"`` when refine codes exist,
           else ``"adc"`` — the measured winners everywhere a single chip can
           hold the codes (``"adc+rerank"`` needs the raw vectors, which PQ

@@ -45,6 +45,8 @@ def main():
                    help="OPQ on the residual level only (coarse keeps dedup)")
     p.add_argument("--refine-only", action="store_true",
                    help="skip the non-refine methods (faster sweeps)")
+    p.add_argument("--graph-sweep", action="store_true",
+                   help="sweep ef/n_seeds/expand on graph+refine only")
     args = p.parse_args()
 
     db = clustered_db(jax.random.PRNGKey(1), args.n, 2048)
@@ -86,6 +88,13 @@ def main():
     ]
     if args.refine_only:
         configs = [c for c in configs if "refine" in c[0]]
+    if args.graph_sweep:
+        configs = [
+            ("graph+refine", {"ef": 200, "n_seeds": 16, "expand": 8}),
+            ("graph+refine", {"ef": 320, "n_seeds": 32, "expand": 8}),
+            ("graph+refine", {"ef": 320, "n_seeds": 32, "expand": 16}),
+            ("graph+refine", {"ef": 480, "n_seeds": 48, "expand": 16}),
+        ]
     for method, kw in configs:
         t0 = time.time()
         s, ids = ix.search(queries, 100, method=method, **kw)
