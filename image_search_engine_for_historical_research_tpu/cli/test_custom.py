@@ -13,6 +13,7 @@ import os
 
 from ..data import path_all_jpg
 from ..evaluation import map_custom
+from ..evaluation.ranks import save_ranked_results
 from ..models.extract import extract_vectors
 from .common import add_common_args, dispatch_matcher, load_network, parse_scales
 
@@ -23,6 +24,17 @@ def build_parser():
     p.add_argument("--db-dir", required=True, help="gallery root (label folders)")
     p.add_argument("--query-dir", required=True, help="query root (label folders)")
     p.add_argument("--K", type=int, default=10)
+    p.add_argument(
+        "--save-ranks", action="store_true",
+        help="persist the full per-query ranking under <outputs>/ranks/ "
+        "(json + npz; the reference pickles the same mapping, "
+        "test_custom.py:38-44)",
+    )
+    p.add_argument(
+        "--html-sheet", action="store_true",
+        help="with --save-ranks: also write an HTML contact sheet "
+        "(query | top-K thumbnails; the reference's matplotlib montage)",
+    )
     return p
 
 
@@ -48,6 +60,17 @@ def main(argv=None):
     )
     m = map_custom(K, idx, q_paths, db_paths)
     print(f">> custom mAP@{K}: {m * 100:.2f} ({tpq * 1e3:.3f} ms/query)")
+
+    if args.save_ranks:
+        out = save_ranked_results(
+            os.path.join(args.outputs, "ranks"),
+            idx,
+            q_paths,
+            db_paths,
+            html_sheet=args.html_sheet,
+        )
+        print(f">> ranked results: {out['json']}"
+              + (f" + {out['html']}" if out["html"] else ""))
     return 0
 
 

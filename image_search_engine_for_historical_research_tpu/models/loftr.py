@@ -51,6 +51,12 @@ class LoFTRConfig:
     border_rm: int = 2
     temperature: float = 0.1            # dual-softmax temperature
     max_matches: int = 256
+    # training-throughput knob (VERDICT r4 #6, mirror of ResNetSOAs.remat):
+    # rematerialize each encoder layer in the backward pass — the coarse
+    # transformer holds 8 layers of (B, L=Hc*Wc, 256) activations at L=4800,
+    # the measured activation-pressure limiter of the LoFTR train step.
+    # Inference-only paths never differentiate, so the default stays off.
+    remat: bool = False
 
 
 # ----------------------------------------------------------------- backbone
@@ -236,11 +242,13 @@ class LocalFeatureTransformer(nn.Module):
     d_model: int
     nhead: int
     layer_names: Tuple[str, ...]
+    remat: bool = False
 
     @nn.compact
     def __call__(self, f0, f1):
+        Layer = nn.remat(LoFTREncoderLayer) if self.remat else LoFTREncoderLayer
         for i, kind in enumerate(self.layer_names):
-            layer = LoFTREncoderLayer(self.d_model, self.nhead, name=f"layer{i}")
+            layer = Layer(self.d_model, self.nhead, name=f"layer{i}")
             if kind == "self":
                 f0 = layer(f0, f0)
                 f1 = layer(f1, f1)
@@ -290,7 +298,8 @@ class LoFTRMatcher(nn.Module):
         t0 = (c0 + pe).reshape(1, L, d)
         t1 = (c1 + pe).reshape(1, L, d)
         t0, t1 = LocalFeatureTransformer(
-            d, cfg.nhead, tuple(cfg.coarse_layers), name="loftr_coarse"
+            d, cfg.nhead, tuple(cfg.coarse_layers), remat=cfg.remat,
+            name="loftr_coarse",
         )(t0, t1)
 
         # dual-softmax coarse matching (coarse_matching.py:108-118); the
@@ -369,7 +378,8 @@ class LoFTRMatcher(nn.Module):
             w0, w1 = merged[:M], merged[M:]
 
         w0, w1 = LocalFeatureTransformer(
-            cfg.d_fine, cfg.nhead, tuple(cfg.fine_layers), name="loftr_fine"
+            cfg.d_fine, cfg.nhead, tuple(cfg.fine_layers), remat=cfg.remat,
+            name="loftr_fine",
         )(w0, w1)
 
         # --- fine matching (fine_matching.py:40-75): center-vs-window softargmax

@@ -88,7 +88,7 @@ def kr_rerank_scores(
     jax.jit,
     static_argnames=(
         "nq", "k1", "k2", "row_chunk", "set_chunk", "jaccard_chunk",
-        "matmul_dtype",
+        "matmul_dtype", "stage",
     ),
 )
 def _kr_chunked_program(
@@ -101,6 +101,7 @@ def _kr_chunked_program(
     set_chunk: int,
     jaccard_chunk: int,
     matmul_dtype,
+    stage: str = "full",
 ):
     """The whole chunked re-rank as ONE jitted program: every chunk loop is a
     ``lax.scan``, so the tunneled chip pays one dispatch instead of one per
@@ -150,18 +151,39 @@ def _kr_chunked_program(
     rank = rank_c.reshape(-1, K)[:n]                   # (n, K)
     rank_h = rank[:, :Kh]
 
+    # ablation early-outs (scripts/ablate_kr.py): return a rank matrix that
+    # depends on everything computed so far (blocking DCE) so each stage's
+    # device cost can be timed in isolation on the chip
+    def _early(dep):
+        dqe = 2.0 - 2.0 * jnp.einsum(
+            "qd,nd->qn", fb[:nq], fb, preferred_element_type=jnp.float32
+        )
+        return jnp.argsort(
+            dqe[:, nq:] + (dep * 1e-20).astype(jnp.float32), axis=1
+        )
+
+    if stage == "dist":
+        return _early(jnp.sum(rank))
+
     # reciprocity masks: i in top(j) for each candidate j = rank[i, l]
     iexp = jnp.arange(n, dtype=jnp.int32)[:, None, None]
     recip = jnp.any(rank[rank] == iexp, axis=2)        # (n, K)
     recip_h = jnp.any(rank_h[rank_h] == iexp, axis=2)  # (n, Kh)
     size_h = jnp.sum(recip_h, axis=1).astype(jnp.float32)
 
+    if stage == "recip":
+        return _early(jnp.sum(recip) + jnp.sum(size_h))
+
     # expansion + weights (Reranking.py:525-538): candidate j in R(i)
     # contributes R_half(j) when |R_half(j) & R(i)| > 2/3 |R_half(j)|. Sets
     # are fixed-width padded index rows (pad sentinel = n); duplicates in the
     # union keep their first (sorted) slot, like the dense boolean OR. The
-    # scan chunk bounds the (r, K, Kh, K) membership test and the (r, W, D)
-    # vector gather (~4 GB at set_chunk=2048, D=2048, W=(k1+1)(k1/2+2)).
+    # scan chunk bounds the (r, K, Kh, K) membership test and the (r, n)
+    # recomputed distance row. The set-member distances come from that MXU
+    # matmul + a scalar row gather (r, W) — NOT a (r, W, D) vector gather,
+    # which at W=(k1+1)(k1/2+2)=252, D=2048 moved ~200 GB through the
+    # scalar-unit-bound gather path at 100k (the round-4 146 ms/q limiter;
+    # same trade as ops/pq.py's one-hot-vs-gather crossover).
     def expand_step(_, xs):
         rank_cc, recip_cc, rows = xs
         r = rank_cc.shape[0]
@@ -184,10 +206,11 @@ def _kr_chunked_program(
         )
         valid = (s < n) & ~dup
         sc = jnp.clip(s, 0, n - 1)
-        dot = jnp.einsum(
-            "rd,rwd->rw", rows, fb[sc], preferred_element_type=jnp.float32
+        drow = 2.0 - 2.0 * jnp.einsum(
+            "rd,nd->rn", rows, fb, preferred_element_type=jnp.float32
         )
-        dval = (2.0 - 2.0 * dot) / jnp.clip(colmax[sc], min=1e-12)
+        drow = drow / jnp.clip(colmax, min=1e-12)[None, :]
+        dval = jnp.take_along_axis(drow, sc, axis=1)  # (r, W)
         w = jnp.where(valid, jnp.exp(-dval), 0.0)
         vv = w / jnp.clip(jnp.sum(w, axis=1, keepdims=True), min=1e-12)
         return None, (jnp.where(valid, sc, 0), jnp.where(valid, vv, 0.0))
@@ -201,6 +224,9 @@ def _kr_chunked_program(
     vidx = vi.reshape(-1, W)[:n]                       # (n, W)
     vval = vv.reshape(-1, W)[:n]
 
+    if stage == "expand":
+        return _early(jnp.sum(vidx) + jnp.sum(vval))
+
     # dense query side of the qe'd V: (nq, n) scatter-add of k2 sparse rows
     nbq = rank[:nq, :k2]
     gi = vidx[nbq].reshape(nq, -1)
@@ -210,6 +236,9 @@ def _kr_chunked_program(
         .at[jnp.arange(nq)[:, None], gi]
         .add(gv)
     ).T                                                # (n, nq)
+
+    if stage == "vq":
+        return _early(jnp.sum(vqT))
 
     # query-expanded sparse rows -> Jaccard vs the dense query side: each
     # row's k2 nearest sparse V rows are concatenated (the qe mean sums
@@ -266,6 +295,7 @@ def kr_rerank_chunked(
     set_chunk: int = 2048,
     jaccard_chunk: int = 4096,
     matmul_dtype=jnp.float32,
+    stage: str = "full",
 ):
     """Chunked k-reciprocal re-rank: same semantics as ``kr_rerank_scores``
     without materializing any (n, n) array — the 100k+-gallery envelope the
@@ -295,6 +325,7 @@ def kr_rerank_chunked(
         set_chunk=set_chunk,
         jaccard_chunk=jaccard_chunk,
         matmul_dtype=matmul_dtype,
+        stage=stage,
     )
 
 

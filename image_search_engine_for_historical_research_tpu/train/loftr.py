@@ -187,6 +187,8 @@ def make_loftr_train_step(
     fine_weight: float = 1.0,
     mesh=None,
     batch_axis: str = "data",
+    compute_dtype=None,
+    accum: Optional[int] = None,
 ):
     """``step(state, imgs (B,H,W,1), Hmats (B,3,3)) -> (state, loss)``.
 
@@ -195,33 +197,85 @@ def make_loftr_train_step(
     devices and parameters replicate — XLA inserts the gradient psum that
     the reference gets from Lightning DDP + the vendored detectron2 comm
     (``src/utils/src/utils/comm.py``).
+
+    Throughput knobs (VERDICT r4 #6, the retrieval trainer's ladder applied
+    here): ``compute_dtype=jnp.bfloat16`` casts params + images for the
+    forward/backward while the focal/fine losses stay f32 (the conf matrix
+    already accumulates in f32 via preferred_element_type); pair it with a
+    ``module.config.remat=True`` clone to drop the 8-layer coarse-attention
+    activation set. ``accum=k`` accumulates gradients over micro-batches of
+    k pairs inside one jitted step (``lax.scan``), bounding peak activation
+    memory at k pairs regardless of the optimizer batch — the fix for the
+    measured batch-8 regression at L=4800.
     """
     cfg = module.config
     window_px = (cfg.window // 2) * 2.0  # half-window in fine-level pixels x
     # stride: fine level is 1/2 resolution (ResNetFPN_8_2), coarse 1/8
 
     def pair_loss(variables, img, Hmat):
+        # the warp's coordinate math stays f32 (bf16 grid fractions are off
+        # by pixels at W=640); only the network inputs are cast
         img1 = warp_image(img, Hmat)
+        if compute_dtype is not None:
+            from ..models.loftr import _cast_floats
+
+            variables = _cast_floats(variables, compute_dtype)
+            img = img.astype(compute_dtype)
+            img1 = img1.astype(compute_dtype)
         out, inter = module.apply(
             variables, img, img1, mutable=["intermediates"]
         )
-        conf = inter["intermediates"]["conf_matrix"][0]
+        conf = inter["intermediates"]["conf_matrix"][0].astype(jnp.float32)
         L = conf.shape[0]
         Hc = img.shape[0] // 8
         Wc = img.shape[1] // 8
         gt = coarse_gt_matrix(Hmat, Hc, Wc, 8)
         lc = coarse_focal_loss(conf, gt)
-        lf = fine_l2_loss(out.kpts0, out.kpts1, out.conf, Hmat, window_px)
+        lf = fine_l2_loss(
+            out.kpts0.astype(jnp.float32), out.kpts1.astype(jnp.float32),
+            out.conf.astype(jnp.float32), Hmat, window_px,
+        )
         return lc + fine_weight * lf
 
     def _step(state, imgs, Hmats):
-        def batch_loss(variables):
-            losses = jax.vmap(lambda im, Hm: pair_loss(variables, im, Hm))(
-                imgs, Hmats
-            )
-            return jnp.mean(losses)
+        if accum:
+            B = imgs.shape[0]
+            if B % accum:
+                raise ValueError(f"batch {B} not divisible by accum={accum}")
+            nb = B // accum
+            mi = imgs.reshape((nb, accum) + imgs.shape[1:])
+            mh = Hmats.reshape((nb, accum) + Hmats.shape[1:])
 
-        loss, grads = jax.value_and_grad(batch_loss)(state.params)
+            def micro_loss(variables, im, Hm):
+                return jnp.mean(
+                    jax.vmap(lambda i, h: pair_loss(variables, i, h))(im, Hm)
+                )
+
+            def body(carry, xs):
+                gsum, lsum = carry
+                im, Hm = xs
+                l, g = jax.value_and_grad(micro_loss)(state.params, im, Hm)
+                return (
+                    jax.tree_util.tree_map(jnp.add, gsum, g),
+                    lsum + l,
+                ), None
+
+            zero_g = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            (gsum, lsum), _ = jax.lax.scan(
+                body, (zero_g, jnp.zeros((), jnp.float32)), (mi, mh)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / nb, gsum)
+            loss = lsum / nb
+        else:
+            def batch_loss(variables):
+                losses = jax.vmap(lambda im, Hm: pair_loss(variables, im, Hm))(
+                    imgs, Hmats
+                )
+                return jnp.mean(losses)
+
+            loss, grads = jax.value_and_grad(batch_loss)(state.params)
         # frozen BN statistics live in 'batch_stats' and are not optimized
         # (the reference freezes BN the same way, main_train.py:748-761)
         updates, new_opt = tx.update(

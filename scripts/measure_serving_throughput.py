@@ -66,7 +66,12 @@ def main():
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--n", type=int, default=1_000_000)
-    p.add_argument("--clients", type=int, default=32)
+    p.add_argument(
+        "--clients", type=lambda s: [int(x) for x in s.split(",")],
+        default=[1, 2, 4, 8, 16, 32],
+        help="comma list: one coalesced load test per concurrency level "
+        "(the qps-vs-clients curve; saturation = where qps stops rising)",
+    )
     p.add_argument("--per-client", type=int, default=4)
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--image-size", type=int, default=1024)
@@ -91,7 +96,7 @@ def main():
     assert svc._vecs_dev is index.vectors
 
     with tempfile.TemporaryDirectory() as td:
-        imgs = _make_images(td, min(16, args.clients))
+        imgs = _make_images(td, min(16, max(args.clients)))
 
         # warm both pipelines (compiles)
         svc.query_image(imgs[0])
@@ -108,41 +113,42 @@ def main():
             "ms_per_request": round(seq_s / args.seq * 1e3, 1),
         }), flush=True)
 
-        # coalesced concurrent load
-        cs = CoalescingService(svc, max_batch=args.max_batch, max_wait_ms=3.0)
-        lat = []
-        lat_lock = threading.Lock()
+        # coalesced concurrent load, one run per concurrency level
+        for n_clients in args.clients:
+            cs = CoalescingService(svc, max_batch=args.max_batch, max_wait_ms=3.0)
+            lat = []
+            lat_lock = threading.Lock()
 
-        def client(ci):
-            for r in range(args.per_client):
-                t = time.perf_counter()
-                cs.query_image(imgs[(ci + r) % len(imgs)])
-                dt = time.perf_counter() - t
-                with lat_lock:
-                    lat.append(dt)
+            def client(ci):
+                for r in range(args.per_client):
+                    t = time.perf_counter()
+                    cs.query_image(imgs[(ci + r) % len(imgs)])
+                    dt = time.perf_counter() - t
+                    with lat_lock:
+                        lat.append(dt)
 
-        threads = [
-            threading.Thread(target=client, args=(ci,))
-            for ci in range(args.clients)
-        ]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        total = time.perf_counter() - t0
-        n_req = args.clients * args.per_client
-        lat = np.sort(np.asarray(lat))
-        print(json.dumps({
-            "stage": "coalesced", "N": args.n, "clients": args.clients,
-            "requests": n_req, "max_batch": args.max_batch,
-            "qps": round(n_req / total, 1),
-            "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
-            "p95_ms": round(float(lat[int(len(lat) * 0.95)]) * 1e3, 1),
-            "batches_run": cs.batches_run,
-            "mean_batch": round(n_req / cs.batches_run, 2),
-        }), flush=True)
-        cs.close()
+            threads = [
+                threading.Thread(target=client, args=(ci,))
+                for ci in range(n_clients)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            total = time.perf_counter() - t0
+            n_req = n_clients * args.per_client
+            lat = np.sort(np.asarray(lat))
+            print(json.dumps({
+                "stage": "coalesced", "N": args.n, "clients": n_clients,
+                "requests": n_req, "max_batch": args.max_batch,
+                "qps": round(n_req / total, 1),
+                "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 1),
+                "p95_ms": round(float(lat[int(len(lat) * 0.95)]) * 1e3, 1),
+                "batches_run": cs.batches_run,
+                "mean_batch": round(n_req / cs.batches_run, 2),
+            }), flush=True)
+            cs.close()
 
 
 if __name__ == "__main__":

@@ -425,6 +425,58 @@ def test_custom_cli(workspace, small_model, monkeypatch, capsys):
     assert "custom mAP" in out
 
 
+def test_custom_cli_save_ranks(workspace, small_model, monkeypatch, capsys):
+    """--save-ranks persists the full per-query ranking (the reference's
+    rank_res pickle, /root/reference/src/test_custom.py:38-44) as json+npz
+    plus an HTML contact sheet; the artifact round-trips and matches the
+    printed ranking."""
+    import json
+
+    from image_search_engine_for_historical_research_tpu.cli import test_custom
+    from image_search_engine_for_historical_research_tpu.data import path_all_jpg
+    from image_search_engine_for_historical_research_tpu.evaluation.ranks import (
+        load_ranked_results,
+    )
+
+    root, db_paths, q_paths = workspace
+    outputs = root / "outputs_ranks"
+    rc = None
+    monkeypatch.setattr(test_custom, "load_network", lambda *a, **k: small_model)
+    rc = test_custom.main([
+        "--db-dir", str(root / "data" / "db"),
+        "--query-dir", str(root / "data" / "q"),
+        "--image-size", "96",
+        "--multiscale", "[1]",
+        "--K", "4",
+        "--outputs", str(outputs),
+        "--save-ranks", "--html-sheet",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ranked results" in out
+
+    rank_dir = outputs / "ranks"
+    ranks, qp, dp = load_ranked_results(str(rank_dir))
+    exp_db, _ = path_all_jpg(str(root / "data" / "db"))
+    exp_q, _ = path_all_jpg(str(root / "data" / "q"))
+    assert list(qp) == [str(p) for p in exp_q]
+    assert list(dp) == [str(p) for p in exp_db]
+    assert ranks.shape == (len(exp_q), 4)
+    assert ranks.min() >= 0 and ranks.max() < len(exp_db)
+
+    # the json mapping mirrors the reference's {query: [ranked db paths]}
+    with open(rank_dir / "custom_ranking_result.json") as f:
+        manifest = json.load(f)
+    for q, row in zip(qp, ranks):
+        assert manifest["ranking"][q] == [dp[j] for j in row]
+
+    sheet = rank_dir / "custom_ranking_result.html"
+    text = sheet.read_text()
+    assert text.count("<tr>") == len(exp_q)
+    import os as _os
+    assert _os.path.basename(exp_db[int(ranks[0, 0])]) in text
+
+
 def test_coalescing_pipeline_overlaps_host_and_device():
     """The two-stage dispatcher overlaps prepare (host) with execute
     (device): wall clock for N batches ~ p + N*e, not N*(p+e)."""

@@ -104,6 +104,59 @@ class TestTrainLoop:
             np.asarray(state.params["batch_stats"]["backbone"]["bn1"]["mean"]),
         )
 
+    def test_accum_matches_full_batch(self, setup):
+        """Gradient accumulation over micro-batches (accum=2) is the same
+        optimizer step as the full vmap batch (equal micro sizes -> the
+        mean of micro means equals the batch mean)."""
+        m, variables, imgs, Hs = setup
+        tx = T.make_loftr_optimizer(lr=3e-4, warmup_steps=2)
+
+        state_a = T.init_loftr_train_state(variables, tx)
+        step = T.make_loftr_train_step(m, tx)
+        state_a, loss_full = step(state_a, imgs[:4], Hs[:4])
+
+        state_b = T.init_loftr_train_state(variables, tx)
+        step_acc = T.make_loftr_train_step(m, tx, accum=2)
+        state_b, loss_acc = step_acc(state_b, imgs[:4], Hs[:4])
+
+        assert float(loss_acc) == pytest.approx(float(loss_full), rel=1e-5)
+        la = jax.tree_util.tree_leaves(state_a.params["params"])
+        lb = jax.tree_util.tree_leaves(state_b.params["params"])
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )
+
+    def test_bf16_remat_step_trains(self, setup):
+        """The throughput ladder (bf16 compute + remat'd encoder layers,
+        VERDICT r4 #6) still decreases the loss; params stay f32."""
+        from dataclasses import replace
+
+        m, variables, imgs, Hs = setup
+        mod = m.clone(config=replace(m.config, remat=True))
+        tx = T.make_loftr_optimizer(lr=3e-4, warmup_steps=2)
+        state = T.init_loftr_train_state(variables, tx)
+        step = T.make_loftr_train_step(
+            mod, tx, compute_dtype=jnp.bfloat16, accum=2
+        )
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, imgs[:2], Hs[:2])
+            try:
+                losses.append(float(loss))
+            except jax.errors.JaxRuntimeError as e:  # pragma: no cover
+                if "BF16" in str(e) and jax.default_backend() == "cpu":
+                    pytest.skip(
+                        "CPU thunk runtime lacks BF16xBF16->F32 dot; the "
+                        "bf16 ladder is exercised on TPU "
+                        "(scripts/measure_loftr_train.py)"
+                    )
+                raise
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        leaf = jax.tree_util.tree_leaves(state.params["params"])[0]
+        assert leaf.dtype == jnp.float32
+
     def test_sharded_step_matches_unsharded(self, setup):
         m, variables, imgs, Hs = setup
         mesh = parallel.data_mesh(8)
