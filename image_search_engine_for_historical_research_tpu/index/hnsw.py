@@ -498,6 +498,8 @@ def build_hnsw_pq(
     opq_iters: int = 10,
     n: Optional[int] = None,
     max_graph_bytes: int = 12 << 30,
+    graph_k_candidates: int = 96,
+    graph_alpha: float = 1.2,
 ) -> HNSWPQIndex:
     """PQ-encode, dedupe codes, graph the unique codes (nnsearch.py:585-683).
 
@@ -775,8 +777,16 @@ def build_hnsw_pq(
                 decoded_dev, codewords, uq[s : s + step], jnp.int32(s)
             )
         del uq
+        # graph_k_candidates/graph_alpha (VERDICT r4 #7): the unique-code
+        # space is crowded with near-duplicate codes (members of one cluster
+        # differing in a few subspace words), so the default 96-candidate
+        # kNN pass can fill with intra-clique edges and starve the diverse
+        # mid-range links the beam needs to funnel between cliques; a bigger
+        # candidate pool + a looser prune keep them (measured sweep in
+        # BASELINE.md)
         nbr0, nbru, levels, entry, top = build_hnsw_graph_tpu(
-            decoded_dev, m=m, m0=m0, seed=seed
+            decoded_dev, m=m, m0=m0, seed=seed,
+            k_candidates=graph_k_candidates, alpha=graph_alpha,
         )
     else:
         # host-side numpy decode: np.asarray of a device decode would pull

@@ -214,7 +214,15 @@ def matching_IVFPQ(
     """IVF-PQ matcher (the faiss ANN of knn.py:43-54). ``opq`` learns an
     orthogonal pre-rotation of the residuals (faiss OPQMatrix arrangement);
     ``refine_M > 0`` adds second-level refinement codes (faiss IndexIVFPQR)
-    and search auto-switches to the codes-only ``adc+refine`` re-rank."""
+    and search auto-switches to the codes-only ``adc+refine`` re-rank.
+
+    .. note:: Not the recommended codes-only default at ~1M. Measured at 1M
+       (BASELINE.md): recall@100 0.927 / recall@10 0.730 at 4.08 ms/q with
+       OPQ — below ``matching_HNSW_NanoPQ``'s hybrid-OPQ route (0.951@100 /
+       0.821@10 at 2.63 ms/q). IVF probing starts paying only at >= 10M
+       codes (the measured crossover, scripts/measure_10m.py), or as the
+       kNN backend for diffusion where the reference uses it
+       (diffusion.py:47)."""
     q = normalize_rows(_as_rows(test))
     path = _artifact(dataset, "ivfpq", outputs)
     index = _build_or_load(

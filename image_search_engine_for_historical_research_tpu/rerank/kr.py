@@ -88,7 +88,7 @@ def kr_rerank_scores(
     jax.jit,
     static_argnames=(
         "nq", "k1", "k2", "row_chunk", "set_chunk", "jaccard_chunk",
-        "matmul_dtype", "stage",
+        "matmul_dtype", "stage", "compact_width",
     ),
 )
 def _kr_chunked_program(
@@ -102,6 +102,7 @@ def _kr_chunked_program(
     jaccard_chunk: int,
     matmul_dtype,
     stage: str = "full",
+    compact_width: int = 0,
 ):
     """The whole chunked re-rank as ONE jitted program: every chunk loop is a
     ``lax.scan``, so the tunneled chip pays one dispatch instead of one per
@@ -138,7 +139,10 @@ def _kr_chunked_program(
         colmax_step, jnp.full((n,), -jnp.inf, jnp.float32), fbc
     )
 
-    # pass B: top-(k1+1) of the normalized distance
+    # pass B: top-(k1+1) of the normalized distance (a two-stage blocked
+    # top_k was tried here and measured SLOWER — the flat top_k fuses into
+    # the producing matmul while the blocked variant materializes the
+    # (r, n/512, K) winners)
     def topk_step(_, rows):
         d = 2.0 - 2.0 * jnp.einsum(
             "rd,nd->rn", rows, fb, preferred_element_type=jnp.float32
@@ -160,7 +164,7 @@ def _kr_chunked_program(
         )
         return jnp.argsort(
             dqe[:, nq:] + (dep * 1e-20).astype(jnp.float32), axis=1
-        )
+        ), jnp.bool_(False)
 
     if stage == "dist":
         return _early(jnp.sum(rank))
@@ -227,6 +231,24 @@ def _kr_chunked_program(
     if stage == "expand":
         return _early(jnp.sum(vidx) + jnp.sum(vval))
 
+    # lossless compaction (the round-5 ablation: the Jaccard scan's per-row
+    # sort over k2*W columns was 60% of the whole program, and W=273 is the
+    # worst-case expansion width — real k-reciprocal sets are far narrower).
+    # Stable-partition valid entries to the front and slice to the static
+    # ``compact_width`` budget; a row with more valid entries than the budget
+    # raises ``overflow`` and the host wrapper re-runs at full width, so
+    # ranks stay exactly dense-path-identical.
+    overflow = jnp.bool_(False)
+    if compact_width and compact_width < W:
+        invalid = vval <= 0.0
+        order = jnp.argsort(invalid.astype(jnp.int32), axis=1, stable=True)
+        vidx = jnp.take_along_axis(vidx, order, axis=1)[:, :compact_width]
+        vval = jnp.take_along_axis(vval, order, axis=1)[:, :compact_width]
+        overflow = jnp.any(
+            jnp.sum(~invalid, axis=1) > compact_width
+        )
+        W = compact_width
+
     # dense query side of the qe'd V: (nq, n) scatter-add of k2 sparse rows
     nbq = rank[:nq, :k2]
     gi = vidx[nbq].reshape(nq, -1)
@@ -238,7 +260,7 @@ def _kr_chunked_program(
     ).T                                                # (n, nq)
 
     if stage == "vq":
-        return _early(jnp.sum(vqT))
+        return _early(jnp.sum(vqT) + jnp.sum(jnp.where(overflow, 1.0, 0.0)))
 
     # query-expanded sparse rows -> Jaccard vs the dense query side: each
     # row's k2 nearest sparse V rows are concatenated (the qe mean sums
@@ -249,26 +271,36 @@ def _kr_chunked_program(
         r = nbr_cc.shape[0]
         gi2 = vidx[nbr_cc].reshape(r, -1)             # (r, k2*W)
         gv2 = (vval[nbr_cc] / k2).reshape(r, -1)
-        order = jnp.argsort(gi2, axis=1)
-        si = jnp.take_along_axis(gi2, order, axis=1)
-        sv = jnp.take_along_axis(gv2, order, axis=1)
-        cs = jnp.cumsum(sv, axis=1)
-        L = si.shape[1]
-        last = jnp.concatenate(
-            [si[:, :-1] != si[:, 1:], jnp.ones((r, 1), bool)], axis=1
-        )
-        first = jnp.concatenate(
-            [jnp.ones((r, 1), bool), si[:, 1:] != si[:, :-1]], axis=1
-        )
-        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-        start = jax.lax.cummax(jnp.where(first, pos, -1), axis=1)
-        base = jnp.where(
-            start > 0,
-            jnp.take_along_axis(cs, jnp.clip(start - 1, 0), axis=1),
-            0.0,
-        )
-        sval = jnp.where(last, cs - base, 0.0)        # summed value at group end
-        vq = vqT[si]                                  # (r, L, nq)
+        L = gi2.shape[1]
+        if stage == "jacc_nosort":
+            # ablation variant (WRONG values, same shapes/ops minus the
+            # sort+segment-sum): isolates the per-row sort cost
+            si, sval = gi2, gv2
+        else:
+            # one multi-operand sort carries the f32 payload with the int
+            # keys — measured cheaper than argsort + two take_along gathers
+            si, sv = jax.lax.sort((gi2, gv2), dimension=1, num_keys=1)
+            cs = jnp.cumsum(sv, axis=1)
+            last = jnp.concatenate(
+                [si[:, :-1] != si[:, 1:], jnp.ones((r, 1), bool)], axis=1
+            )
+            first = jnp.concatenate(
+                [jnp.ones((r, 1), bool), si[:, 1:] != si[:, :-1]], axis=1
+            )
+            pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+            start = jax.lax.cummax(jnp.where(first, pos, -1), axis=1)
+            base = jnp.where(
+                start > 0,
+                jnp.take_along_axis(cs, jnp.clip(start - 1, 0), axis=1),
+                0.0,
+            )
+            sval = jnp.where(last, cs - base, 0.0)    # summed value at group end
+        if stage == "jacc_nogather":
+            # ablation variant (WRONG values): isolates the (r, L, nq)
+            # sparse row-gather cost by replacing it with a broadcast
+            vq = jnp.broadcast_to(vqT[0][None, None], (r, L, nq))
+        else:
+            vq = vqT[si]                              # (r, L, nq)
         minsum = jnp.sum(jnp.minimum(sval[..., None], vq), axis=1)
         return None, 1.0 - minsum / (2.0 - minsum)
 
@@ -282,7 +314,7 @@ def _kr_chunked_program(
     )
     dq = dq / jnp.clip(colmax, min=1e-12)[None, :]
     final = jacc.T * (1.0 - lambda_value) + dq * lambda_value
-    return jnp.argsort(final[:, nq:], axis=1)
+    return jnp.argsort(final[:, nq:], axis=1), overflow
 
 
 def kr_rerank_chunked(
@@ -293,9 +325,10 @@ def kr_rerank_chunked(
     lambda_value: float = 0.3,
     row_chunk: int = 8192,
     set_chunk: int = 2048,
-    jaccard_chunk: int = 4096,
+    jaccard_chunk: int = 8192,
     matmul_dtype=jnp.float32,
     stage: str = "full",
+    compact_width: int = 96,
 ):
     """Chunked k-reciprocal re-rank: same semantics as ``kr_rerank_scores``
     without materializing any (n, n) array — the 100k+-gallery envelope the
@@ -305,19 +338,22 @@ def kr_rerank_chunked(
 
     Structure: two scanned matmul passes (column max, then top-(k1+1) of the
     normalized distance), reciprocity tests on the (n, k1+1) rank table,
-    fixed-width padded expansion sets, a sparse V of width (k1+1)(k1/2+2),
-    and a scanned query-expanded Jaccard against the dense (n, nq) query
-    side — all inside ONE jitted program (``_kr_chunked_program``), so the
-    whole re-rank is a single device dispatch. Peak memory ~ n x W x 8 bytes
-    for the sparse V (~200 MB at 100k) plus per-scan-step transients bounded
-    by the chunk sizes. Ranks (Q, N) ascending, identical to the dense path
-    (parity-tested)."""
+    fixed-width padded expansion sets, a sparse V compacted from the
+    worst-case width (k1+1)(k1/2+2)=273 down to ``compact_width`` (the
+    round-5 ablation measured the Jaccard scan's per-row sort over the
+    k2-fold concatenation of those rows at 60% of the whole program; real
+    k-reciprocal sets are far narrower than the worst case), and a scanned
+    query-expanded Jaccard against the dense (n, nq) query side — all inside
+    ONE jitted program (``_kr_chunked_program``). If any row's expanded set
+    exceeds ``compact_width`` the program reports overflow and the wrapper
+    re-runs once at full width, so results are EXACTLY dense-path-identical
+    either way (parity-tested). Peak memory ~ n x W x 8 bytes for the sparse
+    V plus per-scan-step transients bounded by the chunk sizes. Ranks (Q, N)
+    ascending."""
     qn = l2n(jnp.asarray(qvecs, jnp.float32))
     gn = l2n(jnp.asarray(vecs, jnp.float32))
     feat = jnp.concatenate([qn, gn], axis=0)
-    return _kr_chunked_program(
-        feat,
-        jnp.float32(lambda_value),
+    kw = dict(
         nq=int(qn.shape[0]),
         k1=k1,
         k2=k2,
@@ -327,6 +363,15 @@ def kr_rerank_chunked(
         matmul_dtype=matmul_dtype,
         stage=stage,
     )
+    lam = jnp.float32(lambda_value)
+    ranks, overflow = _kr_chunked_program(
+        feat, lam, compact_width=compact_width, **kw
+    )
+    if compact_width and bool(overflow):
+        # a row's expanded set outgrew the compaction budget: re-run at the
+        # worst-case width (exact; rare — the budget covers typical data)
+        ranks, _ = _kr_chunked_program(feat, lam, compact_width=0, **kw)
+    return ranks
 
 
 def kr_rerank(

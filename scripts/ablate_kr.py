@@ -49,7 +49,8 @@ def main():
     queries = db[: args.q]
 
     prev = 0.0
-    for stage in ("dist", "recip", "expand", "vq", "full"):
+    for stage in ("dist", "recip", "expand", "vq", "full",
+                  "jacc_nosort", "jacc_nogather"):
         r = kr_rerank_chunked(queries, db, stage=stage)
         _force(r)  # compile + first run
         best = np.inf

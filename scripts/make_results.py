@@ -33,28 +33,79 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def make_corpus(seed=0, n_clusters=200, views=50, D=512, nq=70):
-    """10k-row clustered revisited corpus (test_cross_stack.make_scene shape)."""
+def make_corpus(seed=0, n_clusters=300, views=20, D=512, nq=300,
+                n_distractors=4000, intrinsic=48,
+                sig_easy=0.55, sig_hard=1.1, sig_query=0.65):
+    """Hardened revisited corpus (VERDICT r4 #5): the round-4 version was so
+    separable every method scored 100.00 mAP. This one discriminates:
+
+    - clusters live on a low-dimensional subspace (``intrinsic``-d, like real
+      descriptor manifolds; isotropic 2048-d noise is degenerate — see
+      scripts/synth_data.py) with noise scales that OVERLAP neighbouring
+      clusters: easy views at ``sig_easy``, hard views at ``sig_hard``
+      (~cluster-separation scale, so hard positives genuinely confuse),
+    - ``n_distractors`` unlabeled gallery rows drawn from midpoints of random
+      cluster pairs (decision-boundary distractors — the revisitop1m role),
+    - ``nq`` >= 300 queries so mAP differences of ~1 point resolve.
+
+    gnd rows: easy/hard/junk disjoint member splits per query cluster
+    (testdataset.py:6-55 schema). Distractors are in no gnd list — retrieving
+    them costs precision, exactly like the 1M distractor protocol.
+    """
     rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((n_clusters, D)).astype(np.float32)
-    gal = (
-        centers[:, None] + 0.15 * rng.standard_normal((n_clusters, views, D))
-    ).reshape(-1, D).astype(np.float32)
-    gal /= np.linalg.norm(gal, axis=1, keepdims=True)
-    labels = np.repeat(np.arange(n_clusters), views)
-    q = (centers + 0.15 * rng.standard_normal((n_clusters, D))).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    gnd = []
+    basis = np.linalg.qr(rng.standard_normal((D, intrinsic)))[0]  # (D, r)
+    centers = rng.standard_normal((n_clusters, intrinsic))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def emit(z):
+        x = (z @ basis.T).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return x
+
+    # per-coordinate scale so the noise L2 norm ~= sig (unit-norm centers in
+    # the intrinsic space sit ~sqrt(2) apart — sig_hard ~ 0.95 overlaps)
+    def noise(count, sig):
+        return sig / np.sqrt(intrinsic) * rng.standard_normal(
+            (count, intrinsic)
+        )
+
+    n_e = views // 2
+    n_h = views // 4
+    n_j = views - n_e - n_h
+    parts, labels, kinds = [], [], []
     for c in range(n_clusters):
+        for count, sig, kind in ((n_e, sig_easy, 0), (n_h, sig_hard, 1),
+                                 (n_j, sig_easy, 2)):
+            parts.append(centers[c][None] + noise(count, sig))
+            labels += [c] * count
+            kinds += [kind] * count
+    # boundary distractors: midpoints of random cluster pairs + easy noise
+    a = rng.integers(0, n_clusters, n_distractors)
+    b = rng.integers(0, n_clusters, n_distractors)
+    zd = 0.5 * (centers[a] + centers[b]) + noise(n_distractors, sig_easy)
+    parts.append(zd)
+    labels += [-1] * n_distractors
+    kinds += [-1] * n_distractors
+
+    gal = emit(np.concatenate(parts, axis=0))
+    labels = np.asarray(labels)
+    kinds = np.asarray(kinds)
+    # shuffle so cluster members are not contiguous (index-locality can mask
+    # recall errors in segment-based methods)
+    perm = rng.permutation(len(gal))
+    gal, labels, kinds = gal[perm], labels[perm], kinds[perm]
+
+    q = emit(centers + noise(n_clusters, sig_query))
+    gnd = []
+    for c in range(min(nq, n_clusters)):
         members = np.where(labels == c)[0]
-        rng.shuffle(members)
-        n_e, n_h = len(members) // 2, len(members) // 4
+        k = kinds[members]
         gnd.append({
-            "easy": members[:n_e],
-            "hard": members[n_e : n_e + n_h],
-            "junk": members[n_e + n_h :],
+            "easy": members[k == 0],
+            "hard": members[k == 1],
+            "junk": members[k == 2],
         })
-    return gal, q[:nq], gnd[:nq]
+    return gal, q[: len(gnd)], gnd
 
 
 def recall_vs(exact, idx, k):
@@ -386,10 +437,23 @@ def main():
         "",
         f"## Matchers (top-{K}, mAP E/M/H %, recall@100 vs exact)",
         "",
-        "| matcher | ours mAP | ours recall | ours ms/q | ours build s | "
-        "ref mAP | ref recall | ref ms/q | ref build s | note |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| matcher | ours mAP | ours recall | 1M recall@100 | ours ms/q | "
+        "ours build s | ref mAP | ref recall | ref ms/q | ref build s | note |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
+    # measured 1M operating points (BASELINE.md; clustered synthetic, the
+    # recall each matcher actually delivers at scale at its default config)
+    recall_1m = {
+        "L2 (exact)": "1.000",
+        "L2_int8": "0.999",
+        "ANNOY / RP-forest (100 trees)": "0.90 (@10 0.977)",
+        "HNSW (m=16, ef=100)": "0.998",
+        "PQ_HNSW (M=16, adc+refine)": "0.920 (refine_M=64)",
+        "PQ_HNSW + OPQ (M=16, adc+refine)": "0.951 (hybrid opq='refine')",
+        "IVF-PQ (nlist=316, nprobe=64)": "0.893 (nlist=4096, +refine)",
+        "IVF-PQ + OPQ residual rotation": "0.927",
+        "IVF-PQ + refine (IVFADC+R, refine_M=16)": "0.893",
+    }
     for name, ours, ref, note in rows:
         r = (
             [fmt_map(ref["map"]), f"{ref['recall']:.3f}",
@@ -398,6 +462,7 @@ def main():
         )
         lines.append(
             f"| {name} | {fmt_map(ours['map'])} | {ours['recall']:.3f} | "
+            f"{recall_1m.get(name, '—')} | "
             f"{ours['tpq_ms']:.2f} | {ours['build_s']:.1f} | "
             + " | ".join(r) + f" | {note} |"
         )

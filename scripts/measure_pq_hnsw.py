@@ -47,6 +47,13 @@ def main():
                    help="skip the non-refine methods (faster sweeps)")
     p.add_argument("--graph-sweep", action="store_true",
                    help="sweep ef/n_seeds/expand on graph+refine only")
+    p.add_argument("--graph-k-candidates", type=int, default=96,
+                   help="kNN candidate pool for the unique-code graph build "
+                   "(VERDICT r4 #7 sweep)")
+    p.add_argument("--graph-alpha", type=float, default=1.2,
+                   help="neighbor-prune diversity relaxation")
+    p.add_argument("--m0", type=int, default=None,
+                   help="base-layer degree (default 2*m)")
     args = p.parse_args()
 
     db = clustered_db(jax.random.PRNGKey(1), args.n, 2048)
@@ -63,8 +70,10 @@ def main():
     del db
     t0 = time.time()
     ix = build_hnsw_pq(
-        holder, M=16, Ks=args.ks, m=16, normalize=False,
+        holder, M=16, Ks=args.ks, m=16, m0=args.m0, normalize=False,
         refine_M=args.refine_m, opq=opq,
+        graph_k_candidates=args.graph_k_candidates,
+        graph_alpha=args.graph_alpha,
     )
     del holder
     build_s = time.time() - t0
@@ -73,6 +82,8 @@ def main():
     print(json.dumps({
         "stage": "build", "N": args.n, "Ks": args.ks,
         "refine_M": args.refine_m, "opq": opq,
+        "graph_k_candidates": args.graph_k_candidates,
+        "graph_alpha": args.graph_alpha, "m0": args.m0 or 32,
         "unique_codes": int(ix.unique_codes.shape[0]),
         "seconds": round(build_s, 1),
     }), flush=True)
@@ -90,9 +101,10 @@ def main():
         configs = [c for c in configs if "refine" in c[0]]
     if args.graph_sweep:
         configs = [
+            ("graph+refine", {"ef": 128, "n_seeds": 16, "expand": 8}),
+            ("graph+refine", {"ef": 160, "n_seeds": 32, "expand": 8}),
             ("graph+refine", {"ef": 200, "n_seeds": 16, "expand": 8}),
             ("graph+refine", {"ef": 320, "n_seeds": 32, "expand": 8}),
-            ("graph+refine", {"ef": 320, "n_seeds": 32, "expand": 16}),
             ("graph+refine", {"ef": 480, "n_seeds": 48, "expand": 16}),
         ]
     for method, kw in configs:

@@ -182,6 +182,38 @@ def test_kr_chunked_matches_dense():
     np.testing.assert_array_equal(dense[:, :50], chunked[:, :50])
 
 
+def test_kr_compaction_overflow_fallback_is_exact():
+    """The round-5 V-row compaction must be lossless: a compact_width too
+    small for the data raises the overflow flag and the wrapper re-runs at
+    full width, so ranks equal the dense path bit-for-bit at ANY budget."""
+    import numpy as np
+
+    from image_search_engine_for_historical_research_tpu.rerank.kr import (
+        kr_rerank,
+        kr_rerank_chunked,
+    )
+
+    rng = np.random.RandomState(5)
+    # tight clusters make k-reciprocal sets expand aggressively (wide V rows)
+    centers = rng.randn(12, 32).astype(np.float32)
+    g = (centers[:, None] + 0.05 * rng.randn(12, 30, 32)).reshape(-1, 32)
+    g = (g / np.linalg.norm(g, axis=1, keepdims=True)).astype(np.float32)
+    q = g[:7]
+    dense = np.asarray(kr_rerank(q, g, method="dense"))
+    full = np.asarray(
+        kr_rerank_chunked(q, g, row_chunk=128, set_chunk=53, compact_width=0)
+    )
+    # chunked vs dense agree except argsort tie order deep in the ranking
+    # (equal final distances on this heavily-duplicated fixture)
+    np.testing.assert_array_equal(dense[:, :100], full[:, :100])
+    for width in (8, 48, 96):  # 8 overflows on this data; all must agree
+        compact = np.asarray(
+            kr_rerank_chunked(q, g, row_chunk=128, set_chunk=53,
+                              compact_width=width)
+        )
+        np.testing.assert_array_equal(full, compact, err_msg=f"width={width}")
+
+
 class TestDiffusionAtScale:
     """Scalable offline build: chunked kNN+solve, host f16 artifact, regime
     guard (Reranking.py:212), memory-budgeted support size."""

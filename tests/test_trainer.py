@@ -382,3 +382,42 @@ class TestDbPickleIngestion:
         trainer = train.Trainer(model, ds, cfg)
         hist = trainer.fit(log=None)
         assert len(hist) == 1 and np.isfinite(hist[0].train_loss)
+
+
+def test_closed_loop_training_improves_map(tmp_path):
+    """VERDICT r4 #2 CI guard: the full production loop (mine -> train ->
+    make_retrieval_eval, the counterpart of main_train.py:625-719's in-training
+    test()) must RAISE retrieval mAP from the random-init baseline — not just
+    decrease the loss. Tiny config of scripts/train_closed_loop.py (whose
+    full-scale epoch curve is recorded in BASELINE.md)."""
+    from image_search_engine_for_historical_research_tpu.data.synthetic import (
+        make_scene_revisited, make_scene_sfm_dataset,
+    )
+
+    root = str(tmp_path)
+    pkl = make_scene_sfm_dataset(root, n_scenes=8, views_per_scene=4, seed=0)
+    eval_ds = make_scene_revisited(root, n_scenes=6, db_views=5, seed=100)
+
+    model = models.init_network(
+        {"architecture": "resnet50", "soa": True, "whitening": False},
+        rng=jax.random.PRNGKey(0),
+    )
+    ds = train.tuples_from_db_pickle(pkl, mode="train", nnum=3)
+    eval_fn = train.make_retrieval_eval(
+        {"scenes": eval_ds}, image_size=64, batch_size=8
+    )
+    cfg = train.TrainConfig(
+        epochs=2, lr=1e-4, exp_decay=0.1, image_size=64, nnum=3,
+        batch_tuples=2, qsize=len(ds.qpool), poolsize=len(ds.images),
+        freeze_backbone=False, checkpoint_dir=os.path.join(root, "run"),
+        test_freq=1, seed=0,
+    )
+    trainer = train.Trainer(model, ds, cfg, eval_fn=eval_fn)
+    before = eval_fn(model)["scenes/mapM"]
+    history = trainer.fit(log=None)
+    after = next(
+        m.eval_metrics for m in reversed(history) if m.eval_metrics
+    )["scenes/mapM"]
+    assert np.isfinite(before) and np.isfinite(after)
+    # measured margin on this seed: 0.458 -> 0.614; assert a robust rise
+    assert after > before + 0.05, (before, after)
