@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..native import load as load_native
-from ..ops.graph_search import hnsw_search_batch, hnsw_search_batch_pq
+from ..ops.graph_search import (
+    hnsw_search_batch,
+    hnsw_search_batch_pq,
+    hnsw_search_batch_pq_centroid,
+)
 from ..ops.pq import PQCodebook, pq_decode, pq_encode, pq_train, train_indices
 from .base import normalize_rows, register
 
@@ -279,6 +283,15 @@ class HNSWPQIndex:
     # rotation-invariant), refine codes quantize original-space residuals
     rotation: Optional[jnp.ndarray] = None
     refine_rotation: Optional[jnp.ndarray] = None
+    # per-NODE centroid refine codes (VERDICT r4 #7): the mean member
+    # residual, re-quantized with the refine codebook, plus the stored
+    # ||centroid||^2 — the graph walk then scores nodes by exact two-level
+    # centroid distance (2 LUT gathers + 1 scalar) instead of noisy
+    # coarse-only ADC, and the graph itself is built over the centroids.
+    # ~(Mr + 4) bytes per node; absent on refine_M=0 builds and on builds
+    # whose centroid buffers exceed the graph memory budget.
+    node_codes: Optional[jnp.ndarray] = None        # (U, Mr)
+    node_norm2: Optional[jnp.ndarray] = None        # (U,) f32
 
     @property
     def n(self) -> int:
@@ -287,6 +300,7 @@ class HNSWPQIndex:
     def search(
         self, queries, k: int, ef: Optional[int] = None, method: str = "auto",
         vectors=None, expand: int = 4, n_seeds: int = 8,
+        centroid_walk: bool = True,
     ) -> Tuple:
         """Returns (scores, idx) over *image ids*, expanding unique-code hits
         in rank order until k members are collected (nnsearch.py:669-680).
@@ -352,12 +366,26 @@ class HNSWPQIndex:
             # expanded to n_slots member slots (members per code ~ N/U)
             ef_eff = ef or max(self.ef_default, k)
             k_unique = min(max(ef_eff, k), U) if refine else min(k, U)
-            q_g = q @ self.rotation if self.rotation is not None else q
-            scores_u, idx_u = hnsw_search_batch_pq(
-                self.unique_codes, self.codewords, self.nbr0, self.nbru,
-                self.entry, q_g, k_unique, max(ef_eff, k_unique),
-                coarse_ids=self.coarse_ids, n_seeds=n_seeds,
-            )
+            if centroid_walk and self.node_codes is not None:
+                # centroid-ADC walk: exact two-level distance to each node's
+                # member centroid (norm2 - 2 q.x via two ip-LUT gathers) —
+                # the coarse-only ADC's quantization noise both misorders
+                # the beam and hides the funnel directions (VERDICT r4 #7)
+                scores_u, idx_u = hnsw_search_batch_pq_centroid(
+                    self.unique_codes, self.codewords, self.node_codes,
+                    self.refine_codewords, self.node_norm2,
+                    self.nbr0, self.nbru, self.entry, q, k_unique,
+                    max(ef_eff, k_unique), coarse_ids=self.coarse_ids,
+                    n_seeds=n_seeds, rotation=self.rotation,
+                    node_rotation=self.refine_rotation,
+                )
+            else:
+                q_g = q @ self.rotation if self.rotation is not None else q
+                scores_u, idx_u = hnsw_search_batch_pq(
+                    self.unique_codes, self.codewords, self.nbr0, self.nbru,
+                    self.entry, q_g, k_unique, max(ef_eff, k_unique),
+                    coarse_ids=self.coarse_ids, n_seeds=n_seeds,
+                )
         out_scores, out_idx, out_u, valid, total = self._expand_members(
             np.asarray(idx_u), np.asarray(scores_u, np.float32), n_slots
         )
@@ -446,6 +474,9 @@ class HNSWPQIndex:
             arrays["refine_rotation"] = np.asarray(
                 self.refine_rotation, np.float32
             )
+        if self.node_codes is not None:
+            arrays["node_codes"] = np.asarray(self.node_codes)
+            arrays["node_norm2"] = np.asarray(self.node_norm2, np.float32)
         return {"entry": self.entry, "ef_default": self.ef_default}, arrays
 
     @classmethod
@@ -476,6 +507,14 @@ class HNSWPQIndex:
             refine_rotation=(
                 jnp.asarray(arrays["refine_rotation"])
                 if "refine_rotation" in arrays else None
+            ),
+            node_codes=(
+                jnp.asarray(arrays["node_codes"])
+                if "node_codes" in arrays else None
+            ),
+            node_norm2=(
+                jnp.asarray(arrays["node_norm2"])
+                if "node_norm2" in arrays else None
             ),
         )
 
@@ -734,6 +773,65 @@ def build_hnsw_pq(
     # free the 8 GB device gallery before materializing decodes (releases
     # the caller's buffer too under list-donation, see docstring)
     del v, vecs, cb
+
+    # node centroids (VERDICT r4 #7): re-quantize each unique code's MEAN
+    # member residual with the refine codebook. The walk then scores nodes by
+    # exact two-level centroid distance and the graph is built over the
+    # centroids — both replace the coarse decode's quantization noise (the
+    # measured graph-quality bound at the 1M driver point) with the residual
+    # codebook's ~10x smaller error. Memory gate: the f32 accumulate + mean
+    # buffers (2 x U x D) plus the bf16 graph must fit the graph budget —
+    # oversized builds (e.g. opq=True's U ~ N dedup collapse) keep the
+    # coarse-only walk.
+    node_codes_np = node_norm2_np = None
+    D_full = int(codewords.shape[0] * codewords.shape[2])
+    if (
+        refine_codes_np is not None
+        and (2 * 4 + 2) * U * D_full > max_graph_bytes
+    ):
+        # mean buffers (2 x U x D f32) over budget (the >= 10M regime's
+        # ~1.6M unique codes): fall back to each group's FIRST member as the
+        # node representative — a free host gather, still far closer to the
+        # member cloud than the coarse decode alone
+        node_codes_np = np.ascontiguousarray(
+            refine_codes_np[members[offsets[:-1]]]
+        )
+    elif refine_codes_np is not None:
+        rcb_t = PQCodebook(
+            jnp.asarray(refine_cw),
+            jnp.asarray(refine_rot) if refine_rot is not None else None,
+        )
+        inv32 = inverse.reshape(-1).astype(np.int32)
+        step_n = 131072
+
+        # pad rows scatter into the sacrificial row U (dropped below), so
+        # every chunk keeps one compiled shape
+        @partial(jax.jit, donate_argnums=(0,))
+        def _acc(bufp, rcodes, inv):
+            return bufp.at[inv].add(pq_decode(rcb_t, rcodes))
+
+        bufp = jnp.zeros((U + 1, D_full), jnp.float32)
+        for s0 in range(0, N, step_n):
+            rc = refine_codes_np[s0 : s0 + step_n]
+            iv = inv32[s0 : s0 + step_n]
+            if rc.shape[0] < step_n and N > step_n:
+                padn = step_n - rc.shape[0]
+                rc = np.concatenate(
+                    [rc, np.zeros((padn, rc.shape[1]), rc.dtype)]
+                )
+                iv = np.concatenate([iv, np.full((padn,), U, np.int32)])
+            bufp = _acc(bufp, jnp.asarray(rc), jnp.asarray(iv))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _mean(bufp, cnt):
+            return bufp * cnt[:, None]
+
+        invcnt = np.zeros((U + 1,), np.float32)
+        invcnt[:U] = 1.0 / counts
+        mean_res = _mean(bufp, jnp.asarray(invcnt))
+        del bufp
+        node_codes_np = np.asarray(pq_encode(rcb_t, mean_res[:U]))
+        del mean_res, rcb_t
     if builder == "tpu":
         from .graph_build import build_hnsw_graph_tpu
 
@@ -764,18 +862,50 @@ def build_hnsw_pq(
         # caps the peak at the buffer plus one f32 chunk decode
         uq = jnp.asarray(unique)
         step = 131072
-        D_full = codewords.shape[0] * codewords.shape[2]
 
         @partial(jax.jit, donate_argnums=(0,))
         def _fill(buf, cw, chunk, start):
             dec = pq_decode(PQCodebook(cw), chunk).astype(buf.dtype)
             return jax.lax.dynamic_update_slice(buf, dec, (start, 0))
 
-        decoded_dev = jnp.zeros((U, D_full), jnp.bfloat16)
-        for s in range(0, U, step):
-            decoded_dev = _fill(
-                decoded_dev, codewords, uq[s : s + step], jnp.int32(s)
+        # centroid variant: coarse + node-refine decode (both un-rotated to
+        # the shared original space), plus the exact f32 per-node norm the
+        # centroid walk's distance needs
+        @partial(jax.jit, donate_argnums=(0,))
+        def _fill_centroid(buf, cw, rot, rcw, rrot, chunk, nchunk, start):
+            dec = pq_decode(PQCodebook(cw, rot), chunk) + pq_decode(
+                PQCodebook(rcw, rrot), nchunk
             )
+            n2 = jnp.sum(dec * dec, axis=1)
+            return (
+                jax.lax.dynamic_update_slice(
+                    buf, dec.astype(buf.dtype), (start, 0)
+                ),
+                n2,
+            )
+
+        decoded_dev = jnp.zeros((U, D_full), jnp.bfloat16)
+        n2_parts = []
+        rot_dev = jnp.asarray(rotation) if rotation is not None else None
+        rrot_dev = (
+            jnp.asarray(refine_rot) if refine_rot is not None else None
+        )
+        for s in range(0, U, step):
+            if node_codes_np is not None:
+                decoded_dev, n2 = _fill_centroid(
+                    decoded_dev, codewords, rot_dev,
+                    jnp.asarray(refine_cw), rrot_dev,
+                    uq[s : s + step],
+                    jnp.asarray(node_codes_np[s : s + step]),
+                    jnp.int32(s),
+                )
+                n2_parts.append(np.asarray(n2, np.float32))
+            else:
+                decoded_dev = _fill(
+                    decoded_dev, codewords, uq[s : s + step], jnp.int32(s)
+                )
+        if n2_parts:
+            node_norm2_np = np.concatenate(n2_parts)
         del uq
         # graph_k_candidates/graph_alpha (VERDICT r4 #7): the unique-code
         # space is crowded with near-duplicate codes (members of one cluster
@@ -797,6 +927,22 @@ def build_hnsw_pq(
         decoded = np.ascontiguousarray(
             decoded.reshape(U, M_ * ds), np.float32
         )
+        if node_codes_np is not None:
+            # shift nodes to their member centroids (same space rules as the
+            # TPU path; only the small codebooks/codes cross the tunnel)
+            rcw = np.asarray(refine_cw)
+            Mr_, _, dsr = rcw.shape
+            rdec = rcw[
+                np.arange(Mr_)[None, :], node_codes_np.astype(np.int64), :
+            ].reshape(U, Mr_ * dsr)
+            if refine_rot is not None:
+                rdec = rdec @ np.asarray(refine_rot).T
+            if rotation is not None:
+                decoded = decoded @ np.asarray(rotation).T
+            decoded = np.ascontiguousarray(decoded + rdec, np.float32)
+            node_norm2_np = np.sum(
+                decoded.astype(np.float64) ** 2, axis=1
+            ).astype(np.float32)
         nbr0, nbru, levels, entry, top = _build_graph(
             decoded, m, m0, ef_construction, seed
         )
@@ -817,4 +963,10 @@ def build_hnsw_pq(
         ),
         rotation=rotation,
         refine_rotation=refine_rot,
+        node_codes=(
+            jnp.asarray(node_codes_np) if node_codes_np is not None else None
+        ),
+        node_norm2=(
+            jnp.asarray(node_norm2_np) if node_norm2_np is not None else None
+        ),
     )

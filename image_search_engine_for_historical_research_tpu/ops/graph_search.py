@@ -307,6 +307,106 @@ def _pq_search_all(luts, codes32, nbr0, nbru, seeds_all, *, entry, k, ef,
     )(luts, seeds_all)
 
 
+def hnsw_search_batch_pq_centroid(
+    codes: jnp.ndarray,        # (N, M) coarse codes
+    codewords: jnp.ndarray,    # (M, Ks, ds)
+    node_codes: jnp.ndarray,   # (N, Mr) centroid refine codes
+    node_codewords: jnp.ndarray,  # (Mr, Ksr, dsr)
+    node_norm2: jnp.ndarray,   # (N,) ||centroid||^2
+    nbr0: jnp.ndarray,
+    nbru: jnp.ndarray,
+    entry: int,
+    queries: jnp.ndarray,
+    k: int,
+    ef: int,
+    max_steps: int = 0,
+    coarse_ids: jnp.ndarray = None,
+    n_seeds: int = 4,
+    rotation: jnp.ndarray = None,
+    node_rotation: jnp.ndarray = None,
+):
+    """Centroid-ADC beam search over a two-level code graph (VERDICT r4 #7).
+
+    Same traversal as ``hnsw_search_batch_pq`` but the per-node distance is
+    the EXACT squared distance to the node's member centroid
+    ``x_u = decode(coarse_u) + decode(node_refine_u)`` (up to the constant
+    ``||q||^2``): two inner-product LUT gathers plus a stored per-node norm,
+
+        d(q, x_u) = node_norm2[u] - 2 (q . c_u + q . r_u).
+
+    The plain PQ walk scores nodes by coarse-ADC distance alone — on crowded
+    unique-code sets (the driver's Ks=2^13 point) that noise both misorders
+    the beam and starves it of the right expansion directions; the centroid
+    distance has only the residual codebook's (much smaller) quantization
+    error. Cost per expanded node: Mr extra LUT gathers + one scalar gather
+    (reference counterpart: nnsearch.py:352-406 walks coarse ADC only)."""
+    from .pq import PQCodebook, pq_ip_table
+
+    N, M = codes.shape
+    ef = max(ef, k)
+    max_steps = max_steps or 4 * ef
+    lutc = pq_ip_table(PQCodebook(codewords, rotation), queries)
+    lutr = pq_ip_table(PQCodebook(node_codewords, node_rotation), queries)
+    codes32 = codes.astype(jnp.int32)
+    ncodes32 = node_codes.astype(jnp.int32)
+    norm2 = node_norm2.astype(jnp.float32)
+
+    seeds_all = None
+    if coarse_ids is not None and coarse_ids.shape[0] > 0:
+        ns = min(n_seeds, coarse_ids.shape[0])
+        seeds_all = _pq2_coarse_seeds(
+            lutc, lutr, codes32, ncodes32, norm2, coarse_ids, ns
+        )
+
+    ids, scores = _pq2_search_all(
+        lutc, lutr, codes32, ncodes32, norm2, nbr0, nbru, seeds_all,
+        entry=int(entry), k=k, ef=ef, max_steps=max_steps, N=N,
+    )
+    return scores, ids
+
+
+@partial(jax.jit, static_argnames=("n_seeds",))
+def _pq2_coarse_seeds(lutc, lutr, codes32, ncodes32, norm2, coarse_ids,
+                      n_seeds):
+    cc = codes32[coarse_ids]                           # (C, M)
+    rc = ncodes32[coarse_ids]                          # (C, Mr)
+    n2 = norm2[coarse_ids]                             # (C,)
+    dc = jax.vmap(
+        lambda lc, lr: n2 - 2.0 * (_adc(lc, cc) + _adc(lr, rc))
+    )(lutc, lutr)                                      # (Q, C)
+    _, top = jax.lax.top_k(-dc, n_seeds)
+    return coarse_ids[top]
+
+
+@partial(jax.jit, static_argnames=("entry", "k", "ef", "max_steps", "N"))
+def _pq2_search_all(lutc, lutr, codes32, ncodes32, norm2, nbr0, nbru,
+                    seeds_all, *, entry, k, ef, max_steps, N):
+    def factory(ctx):
+        lc, lr = ctx
+
+        def dist_to(ids):
+            safe = jnp.clip(ids, 0)
+            d = norm2[safe] - 2.0 * (
+                _adc(lc, codes32[safe]) + _adc(lr, ncodes32[safe])
+            )
+            return jnp.where(ids >= 0, d, INF)
+
+        return dist_to
+
+    search_one = make_hnsw_search(factory)
+    if seeds_all is None:
+        return jax.vmap(
+            lambda lc, lr: search_one(
+                (lc, lr), nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N
+            )
+        )(lutc, lutr)
+    return jax.vmap(
+        lambda lc, lr, s: search_one(
+            (lc, lr), nbr0, nbru, jnp.int32(entry), k, ef, max_steps, N, s
+        )
+    )(lutc, lutr, seeds_all)
+
+
 def hnsw_descend_entries(
     vectors: jnp.ndarray,
     nbru: jnp.ndarray,

@@ -292,6 +292,31 @@ def pq_dist_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
     return q2[:, :, None] - 2.0 * dots + c2[None, :, :]
 
 
+@jax.jit
+def pq_ip_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
+    """Per-query INNER-PRODUCT LUT: (Q, M, Ks) values of ``q_m . codeword``.
+
+    Summing ``lut[m, code[m]]`` over m gives ``q . decode(code)`` exactly
+    (orthogonal OPQ rotations preserve inner products: decode returns
+    ``c_hat @ R^T`` and the LUT is built from the rotated query ``q @ R``).
+    Unlike ``pq_dist_table`` this contains no per-code norm term, so two
+    tables from independent codebooks (coarse + residual) ADD to the inner
+    product against a two-level reconstruction — the centroid-walk distance
+    ``||x_u||^2 - 2 q.x_u`` needs exactly that decomposition."""
+    Q, D = queries.shape
+    M, Ks, ds = codebook.codewords.shape
+    if codebook.rotation is not None:
+        queries = jnp.einsum(
+            "qd,de->qe", queries.astype(jnp.float32), codebook.rotation,
+            preferred_element_type=jnp.float32,
+        )
+    qs = queries.reshape(Q, M, ds)
+    return jnp.einsum(
+        "qmd,mkd->qmk", qs, codebook.codewords,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def pq_pack4(codes: jnp.ndarray) -> jnp.ndarray:
     """Pack 4-bit codes (values < 16) two-per-byte: (N, M) -> (N, M/2) uint8.
 

@@ -146,7 +146,11 @@ def main():
             "seconds": round(build_s, 1),
         }), flush=True)
         sweeps = [("adc", {}), ("adc+refine", {}),
-                  ("adc+refine", {"expand": 8})]
+                  ("adc+refine", {"expand": 8}),
+                  # the designated > HBM-codes route, at the centroid-walk
+                  # operating points (VERDICT r4 #1/#7)
+                  ("graph+refine", {"ef": 128, "n_seeds": 16, "expand": 8}),
+                  ("graph+refine", {"ef": 200, "n_seeds": 16, "expand": 8})]
     else:
         ix = build_ivfpq(
             chunks_fn, n=n, nlist=args.nlist, M=args.m, Ks=256,

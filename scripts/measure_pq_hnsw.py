@@ -100,12 +100,19 @@ def main():
     if args.refine_only:
         configs = [c for c in configs if "refine" in c[0]]
     if args.graph_sweep:
+        # round 5: centroid-ADC walk operating points (low ef — the point of
+        # the centroid distance), plus coarse-walk rows for the before/after
         configs = [
+            ("graph+refine", {"ef": 100, "n_seeds": 8, "expand": 8}),
+            ("graph+refine", {"ef": 128, "n_seeds": 8, "expand": 8}),
             ("graph+refine", {"ef": 128, "n_seeds": 16, "expand": 8}),
-            ("graph+refine", {"ef": 160, "n_seeds": 32, "expand": 8}),
+            ("graph+refine", {"ef": 160, "n_seeds": 16, "expand": 8}),
             ("graph+refine", {"ef": 200, "n_seeds": 16, "expand": 8}),
             ("graph+refine", {"ef": 320, "n_seeds": 32, "expand": 8}),
-            ("graph+refine", {"ef": 480, "n_seeds": 48, "expand": 16}),
+            ("graph+refine",
+             {"ef": 200, "n_seeds": 16, "expand": 8, "centroid_walk": False}),
+            ("graph+refine",
+             {"ef": 320, "n_seeds": 32, "expand": 8, "centroid_walk": False}),
         ]
     for method, kw in configs:
         t0 = time.time()

@@ -247,7 +247,7 @@ class TestHNSWPQ:
         )
         for f in ("codewords", "unique_codes", "refine_codes",
                   "refine_codewords", "refine_rotation", "group_offsets",
-                  "group_members"):
+                  "group_members", "node_codes", "node_norm2"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(mem, f)), np.asarray(getattr(st, f)), f
             )
@@ -285,6 +285,73 @@ class TestHNSWPQ:
         assert loaded.refine_codes is not None
         s1, i1 = loaded.search(q, 5)
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_centroid_walk_nodes(self, data, tmp_path):
+        """VERDICT r4 #7: refine builds carry per-node centroid codes + the
+        stored ||centroid||^2, the graph walk scores nodes by the exact
+        two-level centroid distance, and the node arrays persist."""
+        from image_search_engine_for_historical_research_tpu.ops.pq import (
+            PQCodebook, pq_decode,
+        )
+
+        x, q, exact = data
+        ix = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64)
+        U = ix.unique_codes.shape[0]
+        assert ix.node_codes is not None and ix.node_norm2 is not None
+        assert ix.node_codes.shape[0] == U and ix.node_norm2.shape == (U,)
+        # stored norms equal the reconstruction the walk's LUTs decompose
+        cent = np.asarray(
+            pq_decode(PQCodebook(ix.codewords, ix.rotation),
+                      ix.unique_codes.astype(jnp.int32))
+            + pq_decode(PQCodebook(ix.refine_codewords, ix.refine_rotation),
+                        ix.node_codes.astype(jnp.int32))
+        )
+        np.testing.assert_allclose(
+            np.asarray(ix.node_norm2), np.sum(cent ** 2, axis=1), rtol=2e-4
+        )
+        # the centroid walk must not lose recall vs the coarse-only walk
+        k = 10
+        _, i_cent = ix.search(q, k, method="graph+refine", ef=64, expand=8)
+        _, i_old = ix.search(q, k, method="graph+refine", ef=64, expand=8,
+                             centroid_walk=False)
+        r_cent = recall_at(exact, i_cent, k)
+        r_old = recall_at(exact, i_old, k)
+        assert r_cent >= r_old - 0.05, (r_cent, r_old)
+        assert r_cent >= 0.9, r_cent
+        # node arrays roundtrip and reproduce the walk exactly
+        save_index(ix, str(tmp_path / "cw"))
+        loaded = load_index(str(tmp_path / "cw"))
+        assert loaded.node_codes is not None
+        np.testing.assert_array_equal(
+            np.asarray(i_cent),
+            np.asarray(loaded.search(q, k, method="graph+refine", ef=64,
+                                     expand=8)[1]),
+        )
+        # refine_M=0 builds have no node arrays and keep the coarse walk
+        ix0 = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64,
+                            refine_M=0)
+        assert ix0.node_codes is None and ix0.node_norm2 is None
+        ix0.search(q, k, method="graph")  # no crash
+
+    def test_centroid_fallback_representative_member(self, data):
+        """Over the mean-buffer budget the build falls back to each group's
+        first member's refine code (the >= 10M regime): node arrays still
+        present, walk still works. Budget chosen between the bf16 graph size
+        (2*U*D — must pass) and the centroid buffers (10*U*D — must not)."""
+        x, q, exact = data
+        full = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64,
+                             builder="tpu")
+        U, D = full.unique_codes.shape[0], x.shape[1]
+        ix = build_hnsw_pq(x, M=8, Ks=32, m=8, ef_construction=64,
+                           builder="tpu", max_graph_bytes=4 * U * D)
+        assert ix.node_codes is not None and ix.node_norm2 is not None
+        # representative = first member per group
+        first = np.asarray(ix.group_members)[np.asarray(ix.group_offsets)[:-1]]
+        np.testing.assert_array_equal(
+            np.asarray(ix.node_codes), np.asarray(ix.refine_codes)[first]
+        )
+        _, i_rep = ix.search(q, 10, method="graph+refine", ef=64, expand=8)
+        assert recall_at(exact, i_rep, 10) >= 0.8
 
 
 class TestRPForest:
@@ -561,14 +628,15 @@ class TestGroupExpansion:
         import image_search_engine_for_historical_research_tpu.index.hnsw as H
 
         captured = {}
-        real = H.hnsw_search_batch_pq
+        # default refine builds route the walk through the centroid variant
+        real = H.hnsw_search_batch_pq_centroid
 
         def spy(*a, **kw):
             s, i = real(*a, **kw)
             captured["s"], captured["i"] = np.asarray(s), np.asarray(i)
             return s, i
 
-        monkeypatch.setattr(H, "hnsw_search_batch_pq", spy)
+        monkeypatch.setattr(H, "hnsw_search_batch_pq_centroid", spy)
         # k close to n so at least some rows need the backfill path;
         # method="graph" so the spied traversal (not the adc scan) produces
         # the unique-code hits — the expansion code under test is shared
