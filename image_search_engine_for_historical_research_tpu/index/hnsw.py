@@ -226,37 +226,19 @@ def _rerank_members(vectors, q, cand_idx, valid, k: int):
     return top_s, top_i
 
 
-@partial(jax.jit, static_argnames=("k",))
 def _rerank_refine(
     cb, unique_codes, rcb, refine_codes,
     q, cand_u, cand_idx, valid, k: int,
 ):
-    """Codes-only re-rank: reconstruct each candidate as
-    ``decode(coarse) + decode(residual)`` and order by exact distance to q.
+    """Codes-only re-rank of expanded members — ``ops.pq.pq_refine_rerank``
+    with unique-code rows as the coarse side (the TPU answer to the
+    reference's raw-vector re-sort, nnsearch.py:669-680; E = expand*k slots
+    per query, ~230 MB reconstructed at Q=70/E=400/D=2048)."""
+    from ..ops.pq import pq_refine_rerank
 
-    Two-level source-coding re-rank (Jegou et al., "Searching in one billion
-    vectors: re-rank with source coding", ICASSP'11) — the TPU answer to the
-    reference's raw-vector re-sort, for the regime where raw vectors exceed
-    HBM (the reference keeps everything in RAM; nnsearch.py:669-680 re-sorts
-    by ADC alone). All arrays are jit *arguments* (CLAUDE.md tunnel rule).
-    The (Q*E, D) reconstruction is the working set: E = expand*k slots per
-    query, ~230 MB at Q=70/E=400/D=2048 — small next to a full scan.
-    """
-    Q, E = cand_idx.shape
-    cc = jnp.take(unique_codes.astype(jnp.int32), cand_u.reshape(-1), axis=0)
-    rc = jnp.take(refine_codes.astype(jnp.int32), cand_idx.reshape(-1), axis=0)
-    recon = pq_decode(cb, cc) + pq_decode(rcb, rc)        # (Q*E, D) f32
-    # (pq_decode un-rotates OPQ codebooks: both terms are original-space)
-    recon = recon.reshape(Q, E, -1)
-    qf = q.astype(jnp.float32)
-    # -||q - recon||^2 up to the per-query constant ||q||^2: larger = better
-    s = 2.0 * jnp.einsum("qd,qed->qe", qf, recon) - jnp.sum(
-        recon * recon, axis=-1
+    return pq_refine_rerank(
+        cb, unique_codes, rcb, refine_codes, q, cand_u, cand_idx, valid, k
     )
-    s = jnp.where(valid, s, -jnp.inf)
-    top_s, top_j = jax.lax.top_k(s, k)
-    top_i = jnp.take_along_axis(cand_idx, top_j, axis=1)
-    return top_s, top_i
 
 
 @register("hnsw_pq")

@@ -17,8 +17,10 @@ import numpy as np
 from ..ops.pq import (
     PQCodebook,
     opq_train,
+    pq_decode,
     pq_encode,
     pq_pack4,
+    pq_refine_rerank,
     pq_search,
     pq_train,
     train_indices,
@@ -34,6 +36,14 @@ class PQIndex:
     normalized: bool = True
     packed4: bool = False
     rotation: jnp.ndarray | None = None  # OPQ orthogonal pre-rotation
+    # second-level residual codes (faiss IndexPQR / Jegou'11 source-coding
+    # re-rank, round 5): the FULL-COVERAGE codes-only route for the >= 10M
+    # regime where IVF probing is coverage-bound and PQ dedup collapses
+    # (BASELINE.md) — the ADC scan shortlists every code, the refine re-rank
+    # restores ordering. +refine_M bytes/image.
+    refine_codewords: jnp.ndarray | None = None   # (Mr, Ksr, dsr)
+    refine_codes: jnp.ndarray | None = None       # (N, Mr)
+    refine_rotation: jnp.ndarray | None = None
 
     @property
     def codebook(self) -> PQCodebook:
@@ -43,12 +53,38 @@ class PQIndex:
     def n(self) -> int:
         return self.codes.shape[0]
 
-    def search(self, queries, k: int, chunk: int = 262144) -> Tuple:
+    def search(self, queries, k: int, chunk: int = 262144,
+               method: str = "auto", expand: int = 4) -> Tuple:
+        """``method``: ``"adc"`` = the plain full-scan LUT accumulate;
+        ``"adc+refine"`` = shortlist ``expand * k`` by ADC, re-rank from the
+        two-level (coarse + residual) reconstructions — codes only, the
+        high-recall full-coverage route (build with ``refine_M > 0``);
+        ``"auto"`` = ``"adc+refine"`` when refine codes exist."""
         q = jnp.asarray(queries)
         if self.normalized:
             q = normalize_rows(q)
-        return pq_search(self.codebook, self.codes, q, k, chunk=chunk,
-                         packed4=self.packed4)
+        if method == "auto":
+            method = "adc+refine" if self.refine_codes is not None else "adc"
+        if method == "adc":
+            return pq_search(self.codebook, self.codes, q, k, chunk=chunk,
+                             packed4=self.packed4)
+        if method != "adc+refine":
+            raise ValueError(f"unknown method {method!r}")
+        if self.refine_codes is None:
+            raise ValueError(
+                "method='adc+refine' requires refine codes "
+                "(build with refine_M > 0)"
+            )
+        if self.packed4:
+            raise ValueError("adc+refine does not support packed4 codes")
+        k_cand = min(max(expand * k, k), self.n)
+        _, cand = pq_search(self.codebook, self.codes, q, k_cand, chunk=chunk)
+        return pq_refine_rerank(
+            self.codebook, self.codes,
+            PQCodebook(self.refine_codewords, self.refine_rotation),
+            self.refine_codes, q, cand, cand,
+            jnp.ones(cand.shape, bool), k,
+        )
 
     def to_arrays(self):
         arrays = {
@@ -57,6 +93,15 @@ class PQIndex:
         }
         if self.rotation is not None:
             arrays["rotation"] = np.asarray(self.rotation, np.float32)
+        if self.refine_codes is not None:
+            arrays["refine_codewords"] = np.asarray(
+                self.refine_codewords, np.float32
+            )
+            arrays["refine_codes"] = np.asarray(self.refine_codes)
+            if self.refine_rotation is not None:
+                arrays["refine_rotation"] = np.asarray(
+                    self.refine_rotation, np.float32
+                )
         return {"normalized": self.normalized, "packed4": self.packed4}, arrays
 
     @classmethod
@@ -68,6 +113,18 @@ class PQIndex:
             packed4=bool(meta.get("packed4", False)),
             rotation=(
                 jnp.asarray(arrays["rotation"]) if "rotation" in arrays else None
+            ),
+            refine_codewords=(
+                jnp.asarray(arrays["refine_codewords"])
+                if "refine_codewords" in arrays else None
+            ),
+            refine_codes=(
+                jnp.asarray(arrays["refine_codes"])
+                if "refine_codes" in arrays else None
+            ),
+            refine_rotation=(
+                jnp.asarray(arrays["refine_rotation"])
+                if "refine_rotation" in arrays else None
             ),
         )
 
@@ -85,6 +142,8 @@ def build_pq(
     opq: bool = False,
     opq_iters: int = 10,
     n: int | None = None,
+    refine_M: int = 0,
+    refine_Ks: int = 256,
 ) -> PQIndex:
     """Train codebooks on the database and encode it (nnsearch.py:879-891).
 
@@ -94,6 +153,12 @@ def build_pq(
     subsamples and runs bf16 assignment matmuls unless overridden
     (see ``ops.pq.pq_train``).
 
+    ``refine_M > 0`` additionally trains a second PQ over the residuals and
+    stores per-image residual codes (faiss IndexPQR): ``search`` then
+    defaults to the codes-only ``adc+refine`` re-rank — the full-coverage
+    high-recall route for the >= 10M regime, where IVF probing is
+    coverage-bound and PQ_HNSW's dedup collapses (BASELINE.md, round 5).
+
     **Streaming (beyond-HBM/host-RAM) build**: ``vecs`` may be a CALLABLE
     yielding ``(c, D)`` row chunks with the total row count as ``n=`` (same
     contract as ``build_ivfpq``/``build_hnsw_pq``; see ``index/streaming.py``).
@@ -101,6 +166,8 @@ def build_pq(
     bit-identical to in-memory at the same explicit ``train_sample``) and the
     encode pass streams the source; only the (N, M) codes ever materialize.
     """
+    if pack4 and refine_M:
+        raise ValueError("refine_M and pack4 are mutually exclusive")
     if callable(vecs):
         if n is None:
             raise ValueError(
@@ -115,7 +182,23 @@ def build_pq(
         # streamed fit stays bit-identical to in-memory at the same explicit
         # train_sample
         fit_idx = train_indices(N, ts, seed) if ts < N else np.arange(N)
-        fit_rows = stream_gather_rows(vecs, N, fit_idx, normalize=normalize)
+        ridx = None
+        if refine_M:
+            rs = min(N, max(16384, 32 * refine_Ks))
+            ridx = train_indices(N, rs, seed + 1) if rs < N else np.arange(N)
+        gathered = stream_gather_rows(
+            vecs, N, [fit_idx] + ([ridx] if refine_M else []),
+            normalize=normalize,
+        )
+        fit_rows, refine_rows = gathered[0], (
+            gathered[1] if refine_M else None
+        )
+        del gathered
+        if refine_M:  # clamp to the largest divisor of D (as in-memory)
+            D = int(fit_rows.shape[1])
+            refine_M = min(refine_M, D)
+            while D % refine_M:
+                refine_M -= 1
         if opq:
             # explicit train_sample passes through (bit-parity with the
             # in-memory build); None stays None so opq_train's tiered
@@ -136,16 +219,45 @@ def build_pq(
                 train_sample=int(fit_rows.shape[0]), mesh=mesh,
             )
         del fit_rows
+        rcb = None
+        if refine_M:
+            # pq_encode is row-local: encoding the sampled rows directly
+            # equals slicing a full code matrix at ridx
+            ci = pq_encode(cb, refine_rows)
+            residuals = refine_rows - pq_decode(cb, ci)
+            del refine_rows, ci
+            if opq:
+                rcb = opq_train(
+                    residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                    opq_iters=opq_iters, seed=seed + 1,
+                )
+            else:
+                rcb = pq_train(
+                    residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                    seed=seed + 1,
+                )
+            del residuals
         # encode stays on device end-to-end: each piece's codes concatenate
         # in HBM (320 MB uint16 at 10M x 16) — no host round trip
-        parts = [
-            pq_encode(cb, piece)
-            for _, piece in stream_encode_pieces(
-                vecs, N, 131072, normalize=normalize
-            )
-        ]
+        parts, rparts = [], []
+        for _, piece in stream_encode_pieces(
+            vecs, N, 131072, normalize=normalize
+        ):
+            code = pq_encode(cb, piece)
+            parts.append(code)
+            if refine_M:
+                rparts.append(
+                    pq_encode(rcb, piece - pq_decode(cb, code))
+                )
+            del piece
         codes = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
         del parts
+        rcodes = None
+        if refine_M:
+            rcodes = (
+                jnp.concatenate(rparts) if len(rparts) > 1 else rparts[0]
+            )
+            del rparts
         if pack4:
             if Ks > 16:
                 raise ValueError(
@@ -154,7 +266,10 @@ def build_pq(
             codes = pq_pack4(codes)
         return PQIndex(codewords=cb.codewords, codes=codes,
                        normalized=normalize, packed4=pack4,
-                       rotation=cb.rotation)
+                       rotation=cb.rotation,
+                       refine_codewords=rcb.codewords if rcb else None,
+                       refine_codes=rcodes,
+                       refine_rotation=rcb.rotation if rcb else None)
 
     v = jnp.asarray(vecs)
     if normalize:
@@ -172,9 +287,47 @@ def build_pq(
             mesh=mesh,
         )
     codes = pq_encode(cb, v)
+    rcb = rcodes = None
+    if refine_M:
+        N, D = v.shape
+        refine_M = min(refine_M, D)
+        while D % refine_M:  # largest divisor of D not above the request
+            refine_M -= 1
+        # train the residual codebook on a row subsample (faiss-style
+        # points-per-centroid budget), then encode every residual chunked —
+        # a full f32 residual copy is another 8 GB at 1M x 2048
+        rs = min(N, max(16384, 32 * refine_Ks))
+        if rs < N:
+            ridx = jnp.asarray(train_indices(N, rs, seed + 1))
+            residuals = v[ridx] - pq_decode(cb, codes[ridx])
+        else:
+            residuals = v - pq_decode(cb, codes)
+        if opq:
+            rcb = opq_train(
+                residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                opq_iters=opq_iters, seed=seed + 1,
+            )
+        else:
+            rcb = pq_train(
+                residuals, M=refine_M, Ks=refine_Ks, iters=iters,
+                seed=seed + 1,
+            )
+        del residuals
+        step = 131072
+        rparts = [
+            pq_encode(
+                rcb, v[s0 : s0 + step] - pq_decode(cb, codes[s0 : s0 + step])
+            )
+            for s0 in range(0, N, step)
+        ]
+        rcodes = jnp.concatenate(rparts) if len(rparts) > 1 else rparts[0]
+        del rparts
     if pack4:
         if Ks > 16:
             raise ValueError("pack4 requires Ks <= 16 (the Quick-ADC geometry)")
         codes = pq_pack4(codes)
     return PQIndex(codewords=cb.codewords, codes=codes, normalized=normalize,
-                   packed4=pack4, rotation=cb.rotation)
+                   packed4=pack4, rotation=cb.rotation,
+                   refine_codewords=rcb.codewords if rcb else None,
+                   refine_codes=rcodes,
+                   refine_rotation=rcb.rotation if rcb else None)

@@ -292,6 +292,48 @@ def pq_dist_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
     return q2[:, :, None] - 2.0 * dots + c2[None, :, :]
 
 
+@partial(jax.jit, static_argnames=("k",))
+def pq_refine_rerank(
+    cb: PQCodebook,
+    coarse_codes: jnp.ndarray,   # (Nc, M) rows indexed by cand_code_rows
+    rcb: PQCodebook,
+    refine_codes: jnp.ndarray,   # (N, Mr) rows indexed by cand_ids
+    q: jnp.ndarray,              # (Q, D)
+    cand_code_rows: jnp.ndarray,  # (Q, E) rows into coarse_codes
+    cand_ids: jnp.ndarray,        # (Q, E) image ids (into refine_codes)
+    valid: jnp.ndarray,           # (Q, E) bool
+    k: int,
+):
+    """Codes-only re-rank: reconstruct candidates as
+    ``decode(coarse) + decode(residual)`` and order by exact distance to q.
+
+    Two-level source-coding re-rank (Jegou et al., "Searching in one billion
+    vectors: re-rank with source coding", ICASSP'11) — shared by the flat
+    PQ-R route (faiss IndexPQR; coarse rows ARE image rows) and PQ_HNSW's
+    ``*+refine`` methods (coarse rows are unique-code rows, nnsearch.py:
+    669-680 re-sorts by ADC alone). All arrays are jit *arguments* (CLAUDE.md
+    tunnel rule); the (Q*E, D) reconstruction is the working set."""
+    Q, E = cand_ids.shape
+    cc = jnp.take(
+        coarse_codes.astype(jnp.int32), cand_code_rows.reshape(-1), axis=0
+    )
+    rc = jnp.take(
+        refine_codes.astype(jnp.int32), cand_ids.reshape(-1), axis=0
+    )
+    recon = pq_decode(cb, cc) + pq_decode(rcb, rc)        # (Q*E, D) f32
+    # (pq_decode un-rotates OPQ codebooks: both terms are original-space)
+    recon = recon.reshape(Q, E, -1)
+    qf = q.astype(jnp.float32)
+    # -||q - recon||^2 up to the per-query constant ||q||^2: larger = better
+    s = 2.0 * jnp.einsum("qd,qed->qe", qf, recon) - jnp.sum(
+        recon * recon, axis=-1
+    )
+    s = jnp.where(valid, s, -jnp.inf)
+    top_s, top_j = jax.lax.top_k(s, k)
+    top_i = jnp.take_along_axis(cand_ids, top_j, axis=1)
+    return top_s, top_i
+
+
 @jax.jit
 def pq_ip_table(codebook: PQCodebook, queries: jnp.ndarray) -> jnp.ndarray:
     """Per-query INNER-PRODUCT LUT: (Q, M, Ks) values of ``q_m . codeword``.

@@ -63,10 +63,13 @@ def main():
     p.add_argument("--train-fraction", type=float, default=0.02)
     p.add_argument("--opq", action="store_true")
     p.add_argument(
-        "--index", choices=["ivfpq", "hnswpq"], default="ivfpq",
+        "--index", choices=["ivfpq", "hnswpq", "pq"], default="ivfpq",
         help="hnswpq = streaming build_hnsw_pq at the driver operating "
         "point (Ks=2^13, hybrid opq='refine') — the recommended codes-only "
-        "route, here measured beyond host RAM",
+        "route where dedup holds; pq = streaming build_pq(refine_M=...) "
+        "(faiss IndexPQR): the FULL-COVERAGE codes-only route for the "
+        "scale-matched 10M density where IVF probing is coverage-bound and "
+        "PQ dedup collapses (round 5)",
     )
     p.add_argument("--ks", type=int, default=8192)
     p.add_argument(
@@ -120,7 +123,30 @@ def main():
     }), flush=True)
 
     t0 = time.time()
-    if args.index == "hnswpq":
+    if args.index == "pq":
+        from image_search_engine_for_historical_research_tpu.index.pq import (
+            build_pq,
+        )
+
+        ix = build_pq(
+            chunks_fn, n=n, M=args.m, Ks=args.ks, normalize=False,
+            refine_M=args.refine_m, opq=bool(args.opq),
+        )
+        build_s = time.time() - t0
+        code_bytes = (
+            int(np.asarray(ix.codes).nbytes)
+            + (int(np.asarray(ix.refine_codes).nbytes)
+               if ix.refine_codes is not None else 0)
+        )
+        print(json.dumps({
+            "stage": "build", "index": "pq", "N": n, "Ks": args.ks,
+            "M": args.m, "refine_M": args.refine_m, "opq": bool(args.opq),
+            "index_mb": round(code_bytes / 2**20, 1),
+            "seconds": round(build_s, 1),
+        }), flush=True)
+        sweeps = [("adc", {}), ("adc+refine", {}),
+                  ("adc+refine", {"expand": 8})]
+    elif args.index == "hnswpq":
         from image_search_engine_for_historical_research_tpu.index.hnsw import (
             build_hnsw_pq,
         )

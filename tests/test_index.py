@@ -138,6 +138,61 @@ class TestPQ:
         with pytest.raises(ValueError, match="n="):
             build_pq(lambda: iter([x]), M=4, Ks=32)
 
+    def test_refine_route_pqr(self, tmp_path):
+        """PQ-R (faiss IndexPQR, round 5): refine_M adds residual codes; the
+        codes-only adc+refine re-rank beats plain ADC ordering, auto routes
+        to it, it persists, and the streaming build is bit-identical."""
+        x = clustered(2000, 64, k=50)
+        rng = np.random.default_rng(3)
+        q = x[:20] + 0.01 * rng.standard_normal((20, 64)).astype(np.float32)
+        flat = build_flat(x)
+        _, exact = flat.search(q, 10)
+        exact = np.asarray(exact)
+
+        ix = build_pq(x, M=8, Ks=64, refine_M=16)
+        assert ix.refine_codes is not None
+        assert ix.refine_codes.shape == (2000, 16)
+
+        def recall(idx):
+            idx = np.asarray(idx)
+            return np.mean([
+                len(set(exact[i]) & set(idx[i, :10])) / 10 for i in range(20)
+            ])
+
+        _, i_adc = ix.search(q, 10, method="adc")
+        _, i_ref = ix.search(q, 10, method="adc+refine", expand=8)
+        assert recall(i_ref) >= recall(i_adc) + 0.2  # 0.385 -> 0.885 here
+        assert recall(i_ref) >= 0.85, recall(i_ref)
+        # auto prefers refine when codes exist
+        np.testing.assert_array_equal(
+            np.asarray(ix.search(q, 10)[1]),
+            np.asarray(ix.search(q, 10, method="adc+refine")[1]),
+        )
+        # persists (refine arrays in arrays.npz) and reloads rank-identically
+        save_index(ix, str(tmp_path / "pqr"))
+        lx = load_index(str(tmp_path / "pqr"))
+        assert lx.refine_codes is not None
+        np.testing.assert_array_equal(
+            np.asarray(ix.search(q, 10)[1]), np.asarray(lx.search(q, 10)[1])
+        )
+        # streaming build bit-parity (same explicit train_sample)
+        kw = dict(M=8, Ks=64, refine_M=8, train_sample=512)
+        mem = build_pq(x, **kw)
+        st = build_pq(
+            lambda: (x[s : s + 500] for s in range(0, 2000, 500)),
+            n=2000, **kw,
+        )
+        for f in ("codewords", "codes", "refine_codewords", "refine_codes"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(mem, f)), np.asarray(getattr(st, f)), f
+            )
+        # error cases
+        ix0 = build_pq(x, M=8, Ks=64)
+        with pytest.raises(ValueError, match="refine"):
+            ix0.search(q, 10, method="adc+refine")
+        with pytest.raises(ValueError, match="exclusive"):
+            build_pq(x, M=8, Ks=16, pack4=True, refine_M=8)
+
 
 class TestPQLargeKs:
     """The reference driver's operating point is Ks=2^13 (offline.py:109,116);
