@@ -85,7 +85,8 @@ def _matcher_kwargs(args, name):
     if args.matching_method in ("PQ", "Nano_PQ", "PQ_HNSW", "HNSW_NanoPQ", "IVFPQ"):
         kw["opq"] = getattr(args, "opq", False)
     if (getattr(args, "refine_m", None) is not None
-            and args.matching_method in ("PQ_HNSW", "HNSW_NanoPQ", "IVFPQ")):
+            and args.matching_method in ("PQ", "Nano_PQ", "PQ_HNSW",
+                                         "HNSW_NanoPQ", "IVFPQ")):
         kw["refine_M"] = args.refine_m
     return kw
 

@@ -136,12 +136,15 @@ def _clamp_ks(Ks, n_rows):
 
 def matching_Nano_PQ(
     K, train, test, dataset, N_books=16, n_bits_perbook=13,
-    ifgenerate=True, outputs="outputs", warmup=True, opq=False,
+    ifgenerate=True, outputs="outputs", warmup=True, opq=False, refine_M=0,
 ):
     """PQ + asymmetric-distance scan (nnsearch.py:847-901).
 
     Defaults follow the reference driver (offline.py:109: N_books=16,
-    n_bits_perbook=13), not nanopq's 8-bit default."""
+    n_bits_perbook=13), not nanopq's 8-bit default. ``refine_M > 0`` adds
+    second-level residual codes (PQ-R / faiss IndexPQR, round 5): search
+    auto-switches to the codes-only ``adc+refine`` re-rank — the
+    full-coverage route for the >= 10M regime (BASELINE.md)."""
     q = normalize_rows(_as_rows(test))
     rows = _as_rows(train)
     path = _artifact(dataset, "pq", outputs)
@@ -149,7 +152,7 @@ def matching_Nano_PQ(
         path, ifgenerate,
         lambda: build_pq(
             rows, M=N_books, Ks=_clamp_ks(2 ** n_bits_perbook, rows.shape[0]),
-            opq=opq,
+            opq=opq, refine_M=refine_M,
         ),
     )
     return _timed_search(index, q, min(K, index.n), warmup)
