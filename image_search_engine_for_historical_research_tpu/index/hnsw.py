@@ -269,9 +269,10 @@ class HNSWPQIndex:
     # residual, re-quantized with the refine codebook, plus the stored
     # ||centroid||^2 — the graph walk then scores nodes by exact two-level
     # centroid distance (2 LUT gathers + 1 scalar) instead of noisy
-    # coarse-only ADC, and the graph itself is built over the centroids.
-    # ~(Mr + 4) bytes per node; absent on refine_M=0 builds and on builds
-    # whose centroid buffers exceed the graph memory budget.
+    # coarse-only ADC. The graph itself stays built over coarse decodes
+    # (a centroid-built graph measured WORSE at 1M — it collapses a
+    # cluster's codes onto one point). ~(Mr + 4) bytes per node; absent on
+    # refine_M=0 builds.
     node_codes: Optional[jnp.ndarray] = None        # (U, Mr)
     node_norm2: Optional[jnp.ndarray] = None        # (U,) f32
 
@@ -757,14 +758,14 @@ def build_hnsw_pq(
     del v, vecs, cb
 
     # node centroids (VERDICT r4 #7): re-quantize each unique code's MEAN
-    # member residual with the refine codebook. The walk then scores nodes by
-    # exact two-level centroid distance and the graph is built over the
-    # centroids — both replace the coarse decode's quantization noise (the
-    # measured graph-quality bound at the 1M driver point) with the residual
-    # codebook's ~10x smaller error. Memory gate: the f32 accumulate + mean
-    # buffers (2 x U x D) plus the bf16 graph must fit the graph budget —
-    # oversized builds (e.g. opq=True's U ~ N dedup collapse) keep the
-    # coarse-only walk.
+    # member residual with the refine codebook. The walk then scores nodes
+    # by exact two-level centroid distance, replacing the coarse decode's
+    # quantization noise (the measured graph-quality bound at the 1M driver
+    # point) with the residual codebook's ~10x smaller error. (The graph
+    # itself stays built over coarse decodes — see _fill_centroid.) Memory
+    # gate: the f32 accumulate + mean buffers (2 x U x D) plus the bf16
+    # graph must fit the graph budget — over it, node codes fall back to
+    # each group's first member (next branch).
     node_codes_np = node_norm2_np = None
     D_full = int(codewords.shape[0] * codewords.shape[2])
     if (
@@ -850,15 +851,20 @@ def build_hnsw_pq(
             dec = pq_decode(PQCodebook(cw), chunk).astype(buf.dtype)
             return jax.lax.dynamic_update_slice(buf, dec, (start, 0))
 
-        # centroid variant: coarse + node-refine decode (both un-rotated to
-        # the shared original space), plus the exact f32 per-node norm the
-        # centroid walk's distance needs
+        # centroid variant: graph vectors stay COARSE decodes — a
+        # centroid-shifted graph collapses a cluster's ~20 codes onto one
+        # point and starves edge diversity (measured at 1M: coarse walk on a
+        # centroid-built graph lost 0.04 recall@100 vs the coarse-built
+        # graph) — but the exact f32 norm of the centroid (coarse + refine,
+        # un-rotated to the shared original space) is computed alongside for
+        # the walk's two-level distance
         @partial(jax.jit, donate_argnums=(0,))
         def _fill_centroid(buf, cw, rot, rcw, rrot, chunk, nchunk, start):
-            dec = pq_decode(PQCodebook(cw, rot), chunk) + pq_decode(
+            dec = pq_decode(PQCodebook(cw), chunk)
+            cent = pq_decode(PQCodebook(cw, rot), chunk) + pq_decode(
                 PQCodebook(rcw, rrot), nchunk
             )
-            n2 = jnp.sum(dec * dec, axis=1)
+            n2 = jnp.sum(cent * cent, axis=1)
             return (
                 jax.lax.dynamic_update_slice(
                     buf, dec.astype(buf.dtype), (start, 0)
@@ -910,8 +916,9 @@ def build_hnsw_pq(
             decoded.reshape(U, M_ * ds), np.float32
         )
         if node_codes_np is not None:
-            # shift nodes to their member centroids (same space rules as the
-            # TPU path; only the small codebooks/codes cross the tunnel)
+            # per-node centroid norms for the walk distance (graph vectors
+            # stay coarse decodes — see the TPU-path comment; only the small
+            # codebooks/codes cross the tunnel)
             rcw = np.asarray(refine_cw)
             Mr_, _, dsr = rcw.shape
             rdec = rcw[
@@ -919,12 +926,14 @@ def build_hnsw_pq(
             ].reshape(U, Mr_ * dsr)
             if refine_rot is not None:
                 rdec = rdec @ np.asarray(refine_rot).T
-            if rotation is not None:
-                decoded = decoded @ np.asarray(rotation).T
-            decoded = np.ascontiguousarray(decoded + rdec, np.float32)
+            cent = (
+                decoded @ np.asarray(rotation).T
+                if rotation is not None else decoded
+            ) + rdec
             node_norm2_np = np.sum(
-                decoded.astype(np.float64) ** 2, axis=1
+                cent.astype(np.float64) ** 2, axis=1
             ).astype(np.float32)
+            del cent, rdec
         nbr0, nbru, levels, entry, top = _build_graph(
             decoded, m, m0, ef_construction, seed
         )
