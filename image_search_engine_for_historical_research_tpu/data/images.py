@@ -62,10 +62,14 @@ def load_test_image(
     path: str,
     imsize: Optional[int] = 1024,
     bbx: Optional[Sequence[float]] = None,
+    raw: bool = False,
 ) -> np.ndarray:
     """Test-mode image pipeline (genericdataset.py:67-79): optional bbx crop,
     thumbnail (bbx mode scales relative to the *full* image size), normalize.
-    Returns float32 HWC."""
+    Returns float32 HWC — or uint8 HWC with ``raw=True`` (pre-normalization
+    pixels, for serving paths that normalize ON DEVICE: a uint8 canvas is 4x
+    less host->device traffic, which dominates batched serving on slow
+    links)."""
     img = pil_loader(path)
     imfullsize = max(img.size)
     if bbx is not None:
@@ -75,6 +79,8 @@ def load_test_image(
             imthumbnail(img, imsize * max(img.size) / imfullsize)
         else:
             imthumbnail(img, imsize)
+    if raw:
+        return np.asarray(img, np.uint8)
     arr = np.asarray(img, np.float32) / 255.0
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
@@ -83,6 +89,7 @@ def load_test_images_native(
     paths: Sequence[str],
     imsize: Optional[int] = 1024,
     threads: int = 8,
+    raw: bool = False,
 ) -> list:
     """Batch test-mode loading through the native threaded JPEG decoder
     (``native/image_loader.cpp``): libjpeg with DCT prescaling + box-filter
@@ -104,7 +111,7 @@ def load_test_images_native(
     if imsize is None:
         # the native path needs a fixed canvas side; full-resolution loading
         # (imsize=None) keeps PIL semantics exactly, per image
-        return [load_test_image(p, None) for p in paths]
+        return [load_test_image(p, None, raw=raw) for p in paths]
     lib = load("image_loader")
     s = int(imsize)
     # np.empty: decode_thumbnail_batch memsets the whole canvas itself
@@ -121,9 +128,15 @@ def load_test_images_native(
     for i in range(n):
         h, w = int(hw[i, 0]), int(hw[i, 1])
         if h == 0 or w == 0:  # decoder rejected it -> PIL fallback
-            images.append(load_test_image(paths[i], imsize))
+            images.append(load_test_image(paths[i], imsize, raw=raw))
             continue
         img = out[i, :h, :w]
+        if raw:
+            # the decoder wrote px/255: restore the original uint8 pixels
+            # (round-trip exact for the decoded values; the box-filter's
+            # fractional averages quantize by <= 0.5/255)
+            images.append((img * 255.0 + 0.5).astype(np.uint8))
+            continue
         images.append((img - IMAGENET_MEAN) / IMAGENET_STD)
     return images
 

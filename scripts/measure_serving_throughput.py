@@ -98,9 +98,13 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         imgs = _make_images(td, min(16, max(args.clients)))
 
-        # warm both pipelines (compiles)
+        # warm both pipelines — every batch SLOT the coalescer can produce,
+        # or the first timed batch at a new slot pays the remote compile
+        # (~20-40 s through the tunnel) inside the measurement
         svc.query_image(imgs[0])
-        svc.query_batch(imgs[: args.max_batch])
+        for s in svc.BATCH_SLOTS:
+            if s <= args.max_batch:
+                svc.query_batch(imgs[:s])
 
         # sequential baseline (the reference's serving model)
         t0 = time.perf_counter()
