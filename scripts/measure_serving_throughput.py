@@ -96,7 +96,10 @@ def main():
     assert svc._vecs_dev is index.vectors
 
     with tempfile.TemporaryDirectory() as td:
-        imgs = _make_images(td, min(16, max(args.clients)))
+        # enough distinct images to fill the LARGEST slot, or the slot-N
+        # warmup silently runs at a smaller slot and the first timed batch
+        # at N pays the remote compile (measured: a 15.7 s p95 outlier)
+        imgs = _make_images(td, min(args.max_batch, max(args.clients)))
 
         # warm both pipelines — every batch SLOT the coalescer can produce,
         # or the first timed batch at a new slot pays the remote compile
