@@ -110,8 +110,9 @@ def make_corpus(seed=0, n_clusters=300, views=20, D=512, nq=300,
 
 def recall_vs(exact, idx, k):
     exact, idx = np.asarray(exact), np.asarray(idx)
+    n = min(len(exact), len(idx))  # ref fractional truncates rows to K
     return float(np.mean([
-        len(set(exact[i, :k]) & set(idx[i, :k])) / k for i in range(len(exact))
+        len(set(exact[i, :k]) & set(idx[i, :k])) / k for i in range(n)
     ]))
 
 
@@ -167,7 +168,11 @@ def main():
     exact100 = np.asarray(exact100)
 
     def our_map(idx):
-        r = compute_map_revisited(np.asarray(idx), gnd)
+        idx = np.asarray(idx)
+        # the reference's matching_fractional_dis truncates the QUERY axis
+        # to K (`np.argsort(dist)[:K]`, nnsearch.py:723) — a latent
+        # reference bug invisible at Q <= 100; evaluate the rows it returned
+        r = compute_map_revisited(idx, gnd[: idx.shape[0]])
         return (r.mapE, r.mapM, r.mapH)
 
     # ------------------------------------------------------------- matchers
@@ -210,7 +215,9 @@ def main():
     add_matcher("L2_int8", run_ours("L2_int8"), None,
                 "no reference counterpart (int8 scan)")
     add_matcher("fractional (p=0.5)", run_ours("fractional"),
-                run_ref(nn.matching_fractional_dis, K, gal.copy(), q.copy()))
+                run_ref(nn.matching_fractional_dis, K, gal.copy(), q.copy()),
+                "ref column covers its first 100 queries only at Q > 100 "
+                "(reference bug: argsort row-slice to K, nnsearch.py:723)")
     add_matcher("LSH (512-bit)", run_ours("LSH"), None,
                 "reference uses faiss IndexLSH (GPU lib, not runnable here)")
     # Ks=2^8 for BOTH stacks here: the reference's scipy kmeans2 at its
